@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline at sf0.001; ``queries``/
+``oracle_sql`` expose each implemented operator with a DuckDB oracle
+(see grate_spark/queries.py for the implementations).
 """
 
 from __future__ import annotations
@@ -12,27 +10,33 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build deterministic CSV blobs from the sf0.001 documents
+    table, run the vectorized extraction UDTF, and return per-row
+    extraction output with the sha256 parity column."""
+    from grate_spark.queries import _docs_as_csv_blobs
+    from grate_spark.operators.extraction import (extract_files,
+                                                  with_content_sha)
+
+    blobs = _docs_as_csv_blobs(spark, "/root/testdata/sf0.001")
+    rows = with_content_sha(extract_files(blobs))
+    return rows.select("repo", "path", "sheet", "row_id", "cells",
+                       "content_sha256", "error")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from grate_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for each query (same column names)."""
+    from grate_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

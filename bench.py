@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  GRATE_BENCH_REPEAT  timing repetitions per query (default 1)
+
+Scaling study (N vs 4N cores): scripts/scaling_bench.py runs this suite
+at two parallelism levels in separate processes and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _time_df(df) -> float:
+    t0 = time.perf_counter()
+    # materialize fully: aggregated outputs are small, collect is fine
+    df.collect()
+    return time.perf_counter() - t0
+
+
+def run_suite(spark, sf_dir: str, repeat: int = 1) -> dict[str, float]:
+    from grate_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in sorted(QUERIES.items()):
+        best = None
+        for _ in range(repeat):
+            t = _time_df(fn(spark, sf_dir))
+            best = t if best is None else min(best, t)
+        timings[name] = round(best, 4)
+    return timings
+
+
+def run_replay_bench(spark, sf_dir: str) -> dict:
+    """CDC replay throughput: synthesize a deterministic event log of file
+    blobs and replay it end-to-end (tail -> extract -> merge)."""
+    try:
+        from grate_spark.cdc.bench import replay_events_per_sec
+    except ImportError:
+        return {}
+    return replay_events_per_sec(spark, sf_dir)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("GRATE_BENCH_REPEAT", "1"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from grate_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, app="grate_spark-bench")
+    try:
+        # warm the JVM/scan path once so timings measure the queries
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+        timings = run_suite(spark, sf_dir, repeat=repeat)
+        replay = run_replay_bench(spark, sf_dir)
+
+        total = round(sum(timings.values()), 4)
+        out = {
+            "metric": "replay_events_per_sec" if replay else "suite_seconds",
+            "value": replay.get("events_per_sec", total) if replay else total,
+            "unit": "events/sec" if replay else "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus,
+        }
+        if replay:
+            out["replay"] = replay
+            out["suite_seconds"] = total
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

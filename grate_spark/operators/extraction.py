@@ -1,0 +1,108 @@
+"""The extraction UDTF: file blobs -> sheet rows, as ``mapInPandas``.
+
+One blob row fans out to N (sheet, row) rows. All parsing happens inside
+the Arrow batch (vectorized transfer, per-file python decode — the file is
+the irreducible sequential unit; parallelism is across files/partitions).
+Corrupt or unrecognized blobs become error rows, never task failures
+(errs.go error-chain analog).
+
+Scale notes:
+- the input should be pre-filtered to tabular paths *before* this
+  operator (Catalyst pushes that into the scan; see cdc.pipeline)
+- repartition/salting for hot repos happens upstream; this operator is
+  embarrassingly parallel per partition and holds one file grid at a
+  time per output chunk
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+EXTRACT_SCHEMA = StructType([
+    StructField("repo", StringType()),
+    StructField("path", StringType()),
+    StructField("commit", StringType()),
+    StructField("fmt", StringType()),
+    StructField("sheet", StringType()),
+    StructField("sheet_idx", IntegerType()),
+    StructField("row_id", LongType()),
+    StructField("cells", ArrayType(StringType())),
+    StructField("types", ArrayType(StringType())),
+    StructField("formats", ArrayType(StringType())),
+    StructField("error", StringType()),
+])
+
+_OUT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+# rows per yielded pandas chunk: bounds executor memory independently of
+# how many rows one giant workbook expands to
+_CHUNK_ROWS = 8192
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+    # imports inside the worker process
+    from grate_spark.extract import ExtractError, NotInFormat, extract_blob
+
+    buf: list[tuple] = []
+
+    def flush():
+        nonlocal buf
+        out = pd.DataFrame(buf, columns=_OUT_COLS)
+        buf = []
+        return out
+
+    for pdf in batches:
+        repos = pdf["repo"].to_numpy()
+        paths = pdf["path"].to_numpy()
+        commits = (pdf["commit"].to_numpy() if "commit" in pdf
+                   else [""] * len(pdf))
+        contents = pdf["content"].to_numpy()
+        langs = (pdf["lang"].to_numpy() if "lang" in pdf
+                 else [None] * len(pdf))
+
+        for repo, path, commit, content, lang in zip(
+                repos, paths, commits, contents, langs):
+            try:
+                res = extract_blob(path, content, lang)
+            except (NotInFormat, ExtractError) as e:
+                buf.append((repo, path, commit, None, None, -1, -1,
+                            None, None, None,
+                            f"{type(e).__name__}: {e}"))
+                continue
+            except Exception as e:  # never fail the task on one blob
+                buf.append((repo, path, commit, None, None, -1, -1,
+                            None, None, None, f"internal: {e!r}"))
+                continue
+            for si, table in enumerate(res.tables):
+                for rid, (cells, types, formats) in enumerate(table.rows):
+                    buf.append((repo, path, commit, res.fmt, table.name,
+                                si, rid, cells, types, formats, None))
+                    if len(buf) >= _CHUNK_ROWS:
+                        yield flush()
+    if buf:
+        yield flush()
+
+
+def extract_files(df: DataFrame) -> DataFrame:
+    """blob rows (repo, path, commit?, lang?, content) -> sheet rows.
+
+    Column pruning: only the needed input columns cross into Arrow.
+    """
+    cols = [c for c in ("repo", "path", "commit", "lang", "content")
+            if c in df.columns]
+    return df.select(*cols).mapInPandas(_extract_batches,
+                                        schema=EXTRACT_SCHEMA)
+
+
+def with_content_sha(df: DataFrame, col: str = "content_sha256") -> DataFrame:
+    """sha256 over the tab-joined rendered cells — the per-row invariant
+    (computed JVM-side; stays inside whole-stage codegen)."""
+    return df.withColumn(col, F.sha2(F.concat_ws("\t", F.col("cells")), 256))

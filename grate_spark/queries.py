@@ -1,0 +1,373 @@
+"""Operator showcase queries + their DuckDB oracle SQL.
+
+Each entry exercises one engine operator/capability from SURVEY.md §2 (or
+an engine-layer capability the north rule adds) over the driver-provided
+parquet tables, with an equivalent ANSI-SQL oracle. Aggregate doubles are
+rounded in BOTH engines so summation-order ulps can't flip the value
+hash. Every computed column is aliased identically on both sides.
+
+Plan-quality conventions: dimension joins are broadcast; filters are
+expressed on scan columns so Catalyst pushes them into parquet; window
+dedups partition by the key that the downstream MERGE would shuffle on
+anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (Spark built-ins; scan -> filter -> agg/join/window)
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10))
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf):
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dims = (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .select("c_custkey", "r_name"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+            .groupBy("r_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("r_name"))
+
+
+Q5_SQL = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def orders_by_priority(spark, sf):
+    return (_t(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_totalprice"))
+            .orderBy("o_orderpriority"))
+
+
+ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_totalprice,
+       round(max(o_totalprice), 2) AS max_totalprice
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def customers_per_region(spark, sf):
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    return (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+            .orderBy("r_name"))
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC-shaped operators over the events change log
+
+def events_latest_per_key(spark, sf):
+    """Latest-offset-wins per key — the in-batch dedup window the MERGE
+    pipeline runs before upserting (SURVEY §2.G1)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.round("value", 2).alias("last_value"))
+            .orderBy("user_id"))
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def events_replay_batch(spark, sf):
+    """Offset-bounded incremental scan (checkpoint..high-watermark), the
+    unit of replay (SURVEY §2.K change-log tail)."""
+    ev = _t(spark, sf, "events")
+    return (ev.filter((F.col("event_id") > 1000) & (F.col("event_id") <= 40000))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.min("event_id").alias("min_offset"),
+                 F.max("event_id").alias("max_offset"))
+            .orderBy("event_type"))
+
+
+EVENTS_REPLAY_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       min(event_id) AS min_offset, max(event_id) AS max_offset
+FROM events WHERE event_id > 1000 AND event_id <= 40000
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly_rollup(spark, sf):
+    """Windowed aggregation (streaming-style time bucketing)."""
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("hour_ts", "event_type"))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents
+
+def docs_dedup_exact(spark, sf):
+    """Exact dedup: keep the lowest doc_id per identical text, then count
+    survivors per language."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_unique_docs"))
+            .orderBy("lang"))
+
+
+DOCS_DEDUP_EXACT_SQL = """
+SELECT lang, count(*) AS n_unique_docs
+FROM (SELECT lang, row_number() OVER (PARTITION BY text
+                                      ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+GROUP BY lang ORDER BY lang
+"""
+
+
+def docs_token_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+            .orderBy("lang"))
+
+
+DOCS_TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(str_split(text, ' '))) AS total_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction operator under the oracle: deterministic CSV blobs built from
+# documents, extracted by the UDTF, checked against direct SQL.
+
+def _docs_as_csv_blobs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    line = F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"),
+                       F.col("n_chars").cast("string"))
+    per_source = (docs.select("source", "doc_id", line.alias("line"))
+                  .groupBy("source")
+                  .agg(F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("doc_id", "line"))),
+                          lambda x: x["line"]),
+                      "\n").alias("body")))
+    return per_source.select(
+        F.lit("bench").alias("repo"),
+        F.concat(F.col("source"), F.lit(".csv")).alias("path"),
+        F.lit("").alias("commit"),
+        F.lit("csv").alias("lang"),
+        F.concat(F.lit("doc_id,lang,n_chars\n"), F.col("body"))
+        .alias("content"))
+
+
+def extract_csv_roundtrip(spark, sf):
+    """Build one CSV blob per documents.source, run the extraction UDTF,
+    emit (source, row_id, columns) for data rows — the oracle reproduces
+    the same rows straight from the table."""
+    from grate_spark.operators.extraction import extract_files
+
+    blobs = _docs_as_csv_blobs(spark, sf)
+    rows = extract_files(blobs)
+    return (rows.filter(F.col("error").isNull() & (F.col("row_id") >= 1))
+            .select(
+                F.regexp_replace("sheet", r"\.csv$", "").alias("source"),
+                F.col("row_id"),
+                F.element_at("cells", 1).cast("long").alias("doc_id"),
+                F.element_at("cells", 2).alias("lang"),
+                F.element_at("cells", 3).cast("long").alias("n_chars"))
+            .orderBy("source", "row_id"))
+
+
+EXTRACT_CSV_ROUNDTRIP_SQL = """
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS row_id,
+       doc_id, lang, n_chars
+FROM documents
+ORDER BY source, row_id
+"""
+
+
+def extract_csv_sha(spark, sf):
+    """Per-row sha256 of the tab-joined rendered cells (the parity
+    invariant), oracle-checked end-to-end through the extraction UDTF."""
+    from grate_spark.operators.extraction import (extract_files,
+                                                  with_content_sha)
+
+    blobs = _docs_as_csv_blobs(spark, sf)
+    rows = with_content_sha(
+        extract_files(blobs).filter(
+            F.col("error").isNull() & (F.col("row_id") >= 1)))
+    return (rows.select(
+        F.regexp_replace("sheet", r"\.csv$", "").alias("source"),
+        F.col("row_id"), F.col("content_sha256"))
+        .orderBy("source", "row_id"))
+
+
+EXTRACT_CSV_SHA_SQL = """
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS row_id,
+       sha256(concat(cast(doc_id AS VARCHAR), chr(9), lang, chr(9),
+                     cast(n_chars AS VARCHAR))) AS content_sha256
+FROM documents
+ORDER BY source, row_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "orders_by_priority": (orders_by_priority, ORDERS_BY_PRIORITY_SQL),
+    "customers_per_region": (customers_per_region, CUSTOMERS_PER_REGION_SQL),
+    "events_latest_per_key": (events_latest_per_key, EVENTS_LATEST_SQL),
+    "events_replay_batch": (events_replay_batch, EVENTS_REPLAY_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
+    "docs_dedup_exact": (docs_dedup_exact, DOCS_DEDUP_EXACT_SQL),
+    "docs_token_stats": (docs_token_stats, DOCS_TOKEN_STATS_SQL),
+    "extract_csv_roundtrip": (extract_csv_roundtrip,
+                              EXTRACT_CSV_ROUNDTRIP_SQL),
+    "extract_csv_sha": (extract_csv_sha, EXTRACT_CSV_SHA_SQL),
+}
