@@ -82,6 +82,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]
                             None, None, None, f"internal: {e!r}"))
                 continue
             for si, table in enumerate(res.tables):
+                if table.hidden:
+                    # xls List() excludes hidden sheets (xls/sheets.go:15-23)
+                    continue
                 for rid, (cells, types, formats) in enumerate(table.rows):
                     buf.append((repo, path, commit, res.fmt, table.name,
                                 si, rid, cells, types, formats, None))

@@ -73,13 +73,19 @@ def test_tsv_types_and_formats():
 
 
 @needs_ref
-@pytest.mark.parametrize("fixture,golden", [("basic.xlsx", "basic.tsv")])
-def test_xlsx_golden(fixture, golden):
+@pytest.mark.parametrize("fixture,golden", [
+    ("basic.xlsx", "basic.tsv"),
+    # the two pairs enabled in the reference's own CI
+    # (xls/simple_test.go:13-15)
+    ("basic.xls", "basic.tsv"),
+    ("testing.xls", "testing.tsv"),
+])
+def test_spreadsheet_golden(fixture, golden):
     """Raw-value comparison over the golden grid, the reference's own
     protocol (xls/simple_test.go:74-84): numeric cells compare as floats,
     others as strings."""
     res = extract_blob(fixture, load_fixture(fixture))
-    assert res.fmt == "xlsx"
+    assert res.fmt == fixture.rsplit(".", 1)[-1]
     want = golden_rows(golden)
     table = res.tables[0]
     raws = table.raw_rows
