@@ -1,0 +1,357 @@
+"""Transactional multi-table lake over parquet with atomic manifest commits.
+
+This is the exactly-once sink the north rule requires. The sandbox has no
+Iceberg runtime jars, so the same commit semantics are implemented
+directly (and documented where each piece maps onto Iceberg for the
+cluster deployment):
+
+- **snapshot isolation / atomic multi-table commit**: a JSON manifest
+  under ``_commits/`` lists every live data file of every table plus the
+  replay checkpoint and lineage. A transaction stages parquet files, then
+  publishes ONE new manifest via atomic hard-link creation (fails if the
+  version already exists -> optimistic concurrency). Data+offsets commit
+  together, so re-applying a batch after any crash is a no-op.
+  [Iceberg: single transaction / WAP + snapshot metadata]
+- **key-partitioned MERGE**: tables are hash-bucketed on their merge key;
+  a merge rewrites only the buckets touched by the batch (copy-on-write),
+  carrying all other files forward untouched. At 10^10-event scale a
+  batch touches a small fraction of buckets, so rewrite cost tracks batch
+  size, not table size. [Iceberg: MERGE INTO over a bucket-partitioned
+  table with SPJ]
+- **schema evolution**: each file records the schema it was written with;
+  reads align every file group to the current table schema (missing
+  columns -> NULL, types upcast along int->bigint->double->string). A
+  merge with a wider incoming schema widens the table schema in the same
+  commit. [Iceberg: ADD COLUMN / type promotion]
+
+Everything is DataFrame-API; the only driver-side data is the (bounded)
+list of touched bucket ids and file names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DataType, StringType, StructField,
+                               StructType)
+
+MANIFEST_DIR = "_commits"
+DATA_DIR = "data"
+
+# type-widening lattice: a merge may move a column *up* this chain
+_WIDEN_ORDER = ["int", "bigint", "double", "string"]
+
+
+def _type_rank(dt: DataType) -> int:
+    s = dt.simpleString()
+    return _WIDEN_ORDER.index(s) if s in _WIDEN_ORDER else -1
+
+
+def widen_type(a: DataType, b: DataType) -> DataType:
+    """Least common type along the widening chain; falls back to string
+    for any other conflict (never loses data)."""
+    if a.simpleString() == b.simpleString():
+        return a
+    ra, rb = _type_rank(a), _type_rank(b)
+    if ra >= 0 and rb >= 0:
+        return a if ra >= rb else b
+    return StringType()
+
+
+def merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Column-add + type-widen schema evolution (order: old cols first,
+    then newly-added cols in their incoming order)."""
+    by_name = {f.name: f for f in new.fields}
+    fields: list[StructField] = []
+    for f in old.fields:
+        g = by_name.pop(f.name, None)
+        if g is None:
+            fields.append(f)
+        else:
+            fields.append(StructField(f.name, widen_type(f.dataType,
+                                                         g.dataType), True))
+    for f in new.fields:
+        if f.name in by_name:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
+def _align(df: DataFrame, target: StructType) -> DataFrame:
+    """Project df onto the target schema: missing cols -> NULL, types
+    cast. Pure Catalyst projections — stays in whole-stage codegen."""
+    cols = []
+    have = set(df.columns)
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class LakeCatalog:
+    """A directory of bucketed tables with one shared commit log."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+
+    # -- manifest I/O --------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"v{version:012d}.json")
+
+    def current_version(self) -> int:
+        best = 0
+        for fn in os.listdir(os.path.join(self.root, MANIFEST_DIR)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    best = max(best, int(fn[1:-5]))
+                except ValueError:
+                    pass
+        return best
+
+    def manifest(self) -> dict:
+        v = self.current_version()
+        if v == 0:
+            return {"version": 0, "tables": {}, "checkpoint": {},
+                    "lineage": []}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def checkpoint(self) -> dict[str, int]:
+        return dict(self.manifest().get("checkpoint", {}))
+
+    def lineage(self) -> list[dict]:
+        return list(self.manifest().get("lineage", []))
+
+    # -- reads ----------------------------------------------------------------
+
+    def table_schema(self, name: str) -> StructType | None:
+        t = self.manifest()["tables"].get(name)
+        if not t:
+            return None
+        return StructType.fromJson(json.loads(t["schemas"][t["schema_id"]]))
+
+    def read(self, name: str, manifest: dict | None = None,
+             buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read: live files aligned to the current schema.
+
+        ``buckets`` prunes to the named hash-buckets using the manifest's
+        file->bucket index alone — no data is scanned for the skipped
+        buckets (the flat-file analog of Iceberg partition pruning; this
+        is what keeps per-batch MERGE cost proportional to batch size,
+        not table size)."""
+        m = manifest or self.manifest()
+        t = m["tables"].get(name)
+        if not t:
+            raise KeyError(f"lake: no such table {name!r}")
+        current = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        groups: dict[int, list[str]] = {}
+        for b, bucket_files in t["files"].items():
+            if wanted is not None and b not in wanted:
+                continue
+            for entry in bucket_files:
+                groups.setdefault(entry["schema_id"], []).append(
+                    os.path.join(self.root, entry["path"]))
+        if not groups:
+            return self.spark.createDataFrame([], current)
+        parts = []
+        for sid, paths in sorted(groups.items()):
+            file_schema = StructType.fromJson(json.loads(t["schemas"][sid]))
+            parts.append(_align(
+                self.spark.read.schema(file_schema).parquet(*paths),
+                current))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def begin(self) -> "Transaction":
+        return Transaction(self)
+
+
+def _bucket_expr(key_cols: tuple[str, ...], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
+                  F.lit(n_buckets)).cast("int")
+
+
+class Transaction:
+    """Stages data-file writes; publishes them in one atomic manifest."""
+
+    def __init__(self, cat: LakeCatalog):
+        self.cat = cat
+        self.base = cat.manifest()
+        self.tables = json.loads(json.dumps(self.base.get("tables", {})))
+        self.checkpoint = dict(self.base.get("checkpoint", {}))
+        self.lineage = list(self.base.get("lineage", []))
+        self.txn_id = uuid.uuid4().hex[:12]
+        self._n = 0
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _stage_dir(self, table: str) -> str:
+        self._n += 1
+        rel = os.path.join(DATA_DIR, table, f"{self.txn_id}-{self._n:04d}")
+        return rel
+
+    def _ensure_table(self, name: str, schema: StructType,
+                      key_cols: tuple[str, ...], n_buckets: int) -> dict:
+        t = self.tables.get(name)
+        if t is None:
+            t = {"schemas": [json.dumps(schema.jsonValue())],
+                 "schema_id": 0,
+                 "key_cols": list(key_cols),
+                 "n_buckets": n_buckets,
+                 "files": {}}
+            self.tables[name] = t
+        return t
+
+    def _evolve_schema(self, t: dict, incoming: StructType) -> StructType:
+        current = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        merged = merge_schemas(current, incoming)
+        if merged.jsonValue() != current.jsonValue():
+            t["schemas"].append(json.dumps(merged.jsonValue()))
+            t["schema_id"] = len(t["schemas"]) - 1
+        return merged
+
+    def _write_bucketed(self, table: str, t: dict, df: DataFrame,
+                        schema: StructType,
+                        buckets: list[int] | None) -> dict[str, list[dict]]:
+        """Write df (aligned to schema) partitioned by bucket; returns
+        {bucket: [file entries]}. ``buckets`` limits output to the touched
+        set (None = all)."""
+        key_cols = tuple(t["key_cols"])
+        nb = t["n_buckets"]
+        out = _align(df, schema).withColumn(
+            "_bucket", _bucket_expr(key_cols, nb))
+        if buckets is not None:
+            out = out.filter(F.col("_bucket").isin(buckets))
+        rel = self._stage_dir(table)
+        full = os.path.join(self.cat.root, rel)
+        # repartition by bucket so each bucket dir gets coherent files;
+        # AQE coalesces small outputs
+        (out.repartition(max(len(buckets or []) or nb, 1), "_bucket")
+            .write.partitionBy("_bucket").mode("overwrite").parquet(full))
+        files: dict[str, list[dict]] = {}
+        sid = t["schema_id"]
+        for entry in sorted(os.listdir(full)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(full, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        {"path": os.path.join(rel, entry, fn),
+                         "schema_id": sid})
+        return files
+
+    # -- operations --------------------------------------------------------------
+
+    def create_or_replace(self, name: str, df: DataFrame,
+                          key_cols: tuple[str, ...],
+                          n_buckets: int = 32) -> None:
+        t = self._ensure_table(name, df.schema, key_cols, n_buckets)
+        schema = self._evolve_schema(t, df.schema)
+        t["files"] = {str(b): fs for b, fs in
+                      self._write_bucketed(name, t, df, schema,
+                                           None).items()}
+
+    def append(self, name: str, df: DataFrame,
+               key_cols: tuple[str, ...] = (),
+               n_buckets: int = 1) -> None:
+        """Append-only write (metrics/log tables)."""
+        t = self._ensure_table(name, df.schema,
+                               key_cols or tuple(df.columns[:1]), n_buckets)
+        schema = self._evolve_schema(t, df.schema)
+        for b, fs in self._write_bucketed(name, t, df, schema,
+                                          None).items():
+            t["files"].setdefault(str(b), []).extend(fs)
+
+    def merge_replace_keys(self, name: str, new_rows: DataFrame,
+                           delete_keys: DataFrame,
+                           key_cols: tuple[str, ...],
+                           n_buckets: int = 32,
+                           touched: list[int] | None = None) -> dict:
+        """The MERGE/upsert: atomically replace every row whose merge key
+        appears in ``delete_keys`` with the rows of ``new_rows`` (which
+        must carry the same key columns; keys not previously present are
+        plain inserts).
+
+        CDC semantics for file blobs: an update re-extracts the whole
+        file, so its old rows are dropped wholesale (a sheet may shrink);
+        a delete contributes a key with no new rows. Equivalent to
+        Iceberg `MERGE INTO ... WHEN MATCHED [AND src.op='D'] THEN
+        DELETE/UPDATE WHEN NOT MATCHED THEN INSERT` keyed on the file.
+
+        Returns merge stats (buckets touched, rows in/out).
+        """
+        t = self._ensure_table(name, new_rows.schema, key_cols, n_buckets)
+        schema = self._evolve_schema(t, new_rows.schema)
+        nb = t["n_buckets"]
+
+        keys = delete_keys.select(*key_cols).distinct()
+        if touched is None:
+            # touched buckets: small (<= nb) — safe to collect
+            touched = sorted(
+                r[0] for r in keys.select(
+                    _bucket_expr(key_cols, nb).alias("b"))
+                .distinct().collect())
+        else:
+            touched = sorted(set(touched))
+        if not touched:
+            return {"buckets": [], "rows_written": 0}
+
+        # survivors: rows of touched buckets whose key is NOT in the batch.
+        # Only the touched buckets' files are read (manifest pruning);
+        # delete_keys is bounded by batch size -> broadcast the anti-join
+        old = self.cat.read(name, {"tables": self.tables, "version": -1},
+                            buckets=touched)
+        survivors = old.join(F.broadcast(keys), list(key_cols),
+                             "left_anti")
+        out = _align(survivors, schema).unionByName(_align(new_rows, schema))
+
+        files = self._write_bucketed(name, t, out, schema, touched)
+        for b in touched:
+            t["files"][str(b)] = files.get(str(b), [])
+        return {"buckets": touched, "rows_written": None}
+
+    def set_checkpoint(self, offsets: dict[str, int],
+                       lineage_entry: dict | None = None,
+                       keep_lineage: int = 1000) -> None:
+        self.checkpoint.update({str(k): int(v) for k, v in offsets.items()})
+        if lineage_entry is not None:
+            self.lineage.append(lineage_entry)
+            self.lineage = self.lineage[-keep_lineage:]
+
+    # -- commit --------------------------------------------------------------------
+
+    def commit(self) -> int:
+        """Publish atomically; raises on concurrent commit conflict."""
+        version = self.base["version"] + 1
+        manifest = {"version": version,
+                    "tables": self.tables,
+                    "checkpoint": self.checkpoint,
+                    "lineage": self.lineage}
+        tmp = self.cat._manifest_path(version) + f".{self.txn_id}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = self.cat._manifest_path(version)
+        try:
+            os.link(tmp, final)  # atomic create-if-absent
+        except FileExistsError:
+            raise RuntimeError(
+                f"lake: commit conflict at version {version}")
+        finally:
+            os.unlink(tmp)
+        return version

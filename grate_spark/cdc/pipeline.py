@@ -1,0 +1,201 @@
+"""The CDC replay loop: change-log tail -> extract -> MERGE, exactly once.
+
+Per micro-batch (SURVEY §3.4 lifecycle; north rule semantics):
+
+1. **offset-bounded scan** of the events table: ``offset > ckpt AND
+   offset <= min(ckpt + batch, hwm)`` — deterministic, resumable; the
+   predicate is Catalyst-evaluable so parquet row groups outside the
+   range are pruned.
+2. **tabular-artifact filter** on the path suffix (D6) — also pushed to
+   the scan, never inside the UDF.
+3. **latest-offset-wins per key** (G1): one window over (repo, path); a
+   path updated 10^6 times in a batch extracts once.
+4. **salt + repartition**: extraction input spreads by hash(repo, path)
+   so a hot repo fans out across the cluster; partition count scales
+   with parallelism.
+5. **extract UDTF** (mapInPandas) over winning I/U blobs; corrupt blobs
+   become error rows (counted in metrics, never task failures).
+6. **MERGE**: per-path replace into the bucketed results table +
+   schema-evolving wide view + metrics append + checkpoint/lineage — all
+   in ONE lake commit, so replaying after any crash is idempotent.
+
+The results table key is (repo, path); each row also carries
+(sheet, row_id) per the north star key, plus lineage columns
+(batch_id, src_offset, commit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..extract import TABULAR_SUFFIX_RE
+from ..operators.extraction import extract_files, with_content_sha
+from .lake import LakeCatalog
+
+RESULTS_TABLE = "results"
+WIDE_TABLE = "results_wide"
+METRICS_TABLE = "ingest_metrics"
+
+MERGE_KEY = ("repo", "path")
+
+
+def _wide_view(rows: DataFrame, n_cols: int) -> DataFrame:
+    """Schema-evolution surface: cells exploded to typed-width string
+    columns c001..cNNN. When a batch's widest sheet exceeds the table's
+    current width, the MERGE widens the schema (column-add) in the same
+    commit."""
+    cols = [rows[c] for c in ("repo", "path", "sheet", "row_id")]
+    cols += [F.try_element_at("cells", F.lit(i + 1)).alias(f"c{i + 1:03d}")
+             for i in range(n_cols)]
+    return rows.filter(F.col("error").isNull()).select(*cols)
+
+
+class CdcPipeline:
+    def __init__(self, spark: SparkSession, lake_root: str,
+                 n_buckets: int = 32, n_partitions: int | None = None,
+                 wide_view: bool = True):
+        self.spark = spark
+        self.lake = LakeCatalog(spark, lake_root)
+        self.n_buckets = n_buckets
+        self.n_partitions = n_partitions or int(
+            spark.sparkContext.defaultParallelism)
+        self.wide_view = wide_view
+
+    # -- one micro-batch -------------------------------------------------------
+
+    def apply_batch(self, events: DataFrame, lo: int, hi: int,
+                    batch_id: int) -> dict:
+        """Apply events with lo < offset <= hi. Returns batch metrics."""
+        batch = (events
+                 .filter((F.col("offset") > lo) & (F.col("offset") <= hi))
+                 .filter(F.col("path").rlike(TABULAR_SUFFIX_RE)))
+
+        # latest-offset-wins per file key within the batch
+        w = Window.partitionBy("repo", "path").orderBy(F.desc("offset"))
+        latest = (batch.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        latest.cache()
+        rows = None
+        try:
+            # ONE driver action gives per-partition lineage, the event
+            # count, and the touched-bucket set (shared by both merges)
+            from .lake import _bucket_expr
+            part_rows = (batch.groupBy("partition")
+                         .agg(F.count("*").alias("n"),
+                              F.min("offset").alias("min_offset"),
+                              F.max("offset").alias("max_offset"),
+                              F.collect_set(_bucket_expr(
+                                  MERGE_KEY, self.n_buckets))
+                              .alias("buckets"))
+                         .orderBy("partition").collect())
+            n_events = sum(r["n"] for r in part_rows)
+            if n_events == 0:
+                return {"batch_id": batch_id, "n_events": 0,
+                        "committed": False, "lo": lo, "hi": hi}
+            touched = sorted({b for r in part_rows for b in r["buckets"]})
+            part_stats = [{"partition": r["partition"], "n": r["n"],
+                           "min_offset": r["min_offset"],
+                           "max_offset": r["max_offset"]}
+                          for r in part_rows]
+
+            upserts = latest.filter(F.col("op") != "D")
+            # spread extraction by file key: a hot repo fans out; the
+            # blob is the unit of work so path-level hashing is the salt
+            blobs = upserts.select("repo", "path", "commit", "lang",
+                                   "content", "offset") \
+                .repartition(self.n_partitions, "repo", "path")
+            rows = with_content_sha(extract_files(blobs))
+
+            # lineage columns come from the driving event
+            ev_meta = upserts.select("repo", "path",
+                                     F.col("offset").alias("src_offset"))
+            rows = rows.join(F.broadcast(ev_meta), ["repo", "path"]) \
+                .withColumn("batch_id", F.lit(batch_id))
+            rows.cache()
+
+            # one action for all row-level stats
+            stat = rows.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("error").isNotNull(), 1)
+                      .otherwise(0)).alias("n_error_rows"),
+                F.max(F.size("cells")).alias("max_cols")).collect()[0]
+            n_rows = stat["n_rows"]
+            n_error_rows = int(stat["n_error_rows"] or 0)
+            max_cols = int(stat["max_cols"] or 0)
+
+            txn = self.lake.begin()
+            all_keys = latest.select("repo", "path")
+            stats = txn.merge_replace_keys(RESULTS_TABLE, rows, all_keys,
+                                           MERGE_KEY, self.n_buckets,
+                                           touched=touched)
+            if self.wide_view:
+                txn.merge_replace_keys(WIDE_TABLE,
+                                       _wide_view(rows, max_cols),
+                                       all_keys, MERGE_KEY,
+                                       self.n_buckets, touched=touched)
+
+            metrics = self.spark.createDataFrame(
+                [(batch_id, lo, hi, n_events, n_rows, n_error_rows,
+                  len(stats["buckets"]))],
+                "batch_id int, lo bigint, hi bigint, n_events bigint, "
+                "n_rows bigint, n_error_rows bigint, n_buckets int")
+            txn.append(METRICS_TABLE, metrics)
+
+            txn.set_checkpoint(
+                {"global": hi},
+                {"batch_id": batch_id, "lo": lo, "hi": hi,
+                 "partitions": part_stats,
+                 "buckets": stats["buckets"]})
+            txn.commit()
+            return {"batch_id": batch_id, "n_events": n_events,
+                    "n_rows": n_rows, "n_error_rows": n_error_rows,
+                    "committed": True, "lo": lo, "hi": hi}
+        finally:
+            latest.unpersist()
+            if rows is not None:
+                rows.unpersist()
+
+    # -- the replay loop -------------------------------------------------------
+
+    def replay(self, events: DataFrame, batch_size: int | None = None,
+               max_batches: int | None = None) -> list[dict]:
+        """Tail the log from the committed checkpoint to its high
+        watermark in offset-bounded batches. Restart-safe: the checkpoint
+        is read from the last committed manifest."""
+        hwm_row = events.agg(F.max("offset").alias("h")).collect()[0]
+        hwm = hwm_row["h"] or 0
+        results = []
+        n = 0
+        while True:
+            ckpt = int(self.lake.checkpoint().get("global", 0))
+            if ckpt >= hwm:
+                break
+            if max_batches is not None and n >= max_batches:
+                break
+            hi = hwm if batch_size is None else min(ckpt + batch_size, hwm)
+            batch_id = len(self.lake.lineage()) + 1
+            res = self.apply_batch(events, ckpt, hi, batch_id)
+            if not res.get("committed"):
+                # nothing tabular in range: still advance the checkpoint
+                # so replay terminates (offset watermark only)
+                txn = self.lake.begin()
+                txn.set_checkpoint({"global": hi},
+                                   {"batch_id": batch_id, "lo": ckpt,
+                                    "hi": hi, "partitions": [],
+                                    "buckets": []})
+                txn.commit()
+            results.append(res)
+            n += 1
+        return results
+
+    # -- reads ------------------------------------------------------------------
+
+    def results(self) -> DataFrame:
+        return self.lake.read(RESULTS_TABLE)
+
+    def results_wide(self) -> DataFrame:
+        return self.lake.read(WIDE_TABLE)
+
+    def metrics(self) -> DataFrame:
+        return self.lake.read(METRICS_TABLE)

@@ -1,0 +1,97 @@
+"""N-vs-4N scaling study: the identical CDC replay at local[8] and
+local[32] over the same materialized event log.
+
+The north rule's two-cluster-size criterion (efficiency >= 0.8 from N to
+4N executors) cannot use a real cluster in this sandbox; per the task
+protocol we run the same job at two parallelism levels and report
+throughput at both plus scaling efficiency:
+
+    efficiency = (T_low / T_high) / (cores_high / cores_low)
+
+Each level runs in its own subprocess (fresh JVM) so executor-thread
+counts are honest. Prints one JSON line and updates BENCH.md.
+
+Usage: python scripts/scaling_bench.py [sf_dir] [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from grate_spark.session import get_spark
+from grate_spark.cdc.bench import replay_events_per_sec
+
+spark = get_spark(cpus={cpus}, app="scaling-bench-{cpus}")
+try:
+    res = replay_events_per_sec(spark, {sf_dir!r}, n_files={n_files})
+    print("RESULT " + json.dumps(res))
+finally:
+    spark.stop()
+"""
+
+
+def run_level(cpus: int, sf_dir: str, n_files: int) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
+                         n_files=n_files)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line in output:\n{out.stdout}\n"
+                       f"{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else \
+        int(os.environ.get("GRATE_BENCH_FILES", "600"))
+    low_cpus, high_cpus = 8, 32
+
+    low = run_level(low_cpus, sf_dir, n_files)
+    high = run_level(high_cpus, sf_dir, n_files)
+
+    speedup = low["replay_seconds"] / high["replay_seconds"]
+    efficiency = speedup / (high_cpus / low_cpus)
+    out = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "sf": sf_dir,
+        "n_events": high["n_events"],
+        f"local[{low_cpus}]": low,
+        f"local[{high_cpus}]": high,
+        "speedup_4x_cores": round(speedup, 3),
+    }
+    print(json.dumps(out))
+
+    md = os.path.join(REPO, "BENCH.md")
+    with open(md, "w") as f:
+        f.write(
+            "# BENCH — CDC replay scaling study (N vs 4N)\n\n"
+            "Same job, same materialized event log, two parallelism "
+            "levels\n(the sandbox protocol for the north rule's N->4N "
+            "executor criterion).\n\n"
+            f"input: `{sf_dir}`, {high['n_events']} change events "
+            f"({n_files} files, I/U/D mix)\n\n"
+            "| level | events/sec | replay seconds |\n|---|---|---|\n"
+            f"| local[{low_cpus}] (N) | {low['events_per_sec']} | "
+            f"{low['replay_seconds']} |\n"
+            f"| local[{high_cpus}] (4N) | {high['events_per_sec']} | "
+            f"{high['replay_seconds']} |\n\n"
+            f"speedup at 4x cores: **{round(speedup, 3)}x** -> scaling "
+            f"efficiency **{round(efficiency, 3)}** "
+            f"(target >= 0.8)\n")
+
+
+if __name__ == "__main__":
+    main()

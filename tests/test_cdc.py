@@ -1,0 +1,335 @@
+"""CDC engine semantics: exactly-once MERGE, idempotent re-apply,
+out-of-order offsets, deletes, schema evolution, checkpoint/resume,
+crash injection, lineage/metrics, and the sha256 golden parity gate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from grate_spark.cdc.events import (fixture_events, synthetic_doc_events,
+                                    expected_final_blobs)
+from grate_spark.cdc.lake import LakeCatalog, merge_schemas, widen_type
+from grate_spark.cdc.pipeline import CdcPipeline
+
+SF = os.environ.get("GRATE_TEST_SF", "/root/testdata/sf0.001")
+REF = "/root/reference/testdata"
+
+CONTENT_COLS = ["repo", "path", "sheet", "row_id", "cells",
+                "content_sha256", "error"]
+
+
+def state_fingerprint(df, cols=None):
+    """Order-independent table-state hash for equality assertions."""
+    cols = cols or CONTENT_COLS
+    return (df.select(
+        F.sha2(F.concat_ws("\x1f",
+                           *[F.coalesce(F.col(c).cast("string"),
+                                        F.lit("\x00")) for c in cols]),
+               256).alias("h"))
+        .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))),
+                    256).alias("state"))
+        .collect()[0]["state"])
+
+
+# --------------------------------------------------------------------------
+# lake unit tests
+
+def test_widen_type_chain():
+    assert widen_type(IntegerType(), LongType()).simpleString() == "bigint"
+    assert widen_type(LongType(), DoubleType()).simpleString() == "double"
+    assert widen_type(DoubleType(), StringType()).simpleString() == "string"
+    assert widen_type(StringType(), IntegerType()).simpleString() == "string"
+
+
+def test_merge_schemas_adds_and_widens():
+    old = StructType([StructField("k", StringType()),
+                      StructField("v", IntegerType())])
+    new = StructType([StructField("k", StringType()),
+                      StructField("v", DoubleType()),
+                      StructField("extra", LongType())])
+    m = merge_schemas(old, new)
+    assert [f.name for f in m.fields] == ["k", "v", "extra"]
+    assert m["v"].dataType.simpleString() == "double"
+
+
+def test_lake_append_and_read(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    txn = cat.begin()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    txn.append("t", df)
+    v = txn.commit()
+    assert v == 1
+    got = cat.read("t").orderBy("id").collect()
+    assert [(r["id"], r["s"]) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_lake_merge_replace(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    txn = cat.begin()
+    base = spark.createDataFrame(
+        [("r", "p1", 0, "x"), ("r", "p1", 1, "y"), ("r", "p2", 0, "z")],
+        "repo string, path string, row_id int, v string")
+    txn.merge_replace_keys("t", base, base.select("repo", "path"),
+                           ("repo", "path"), n_buckets=4)
+    txn.commit()
+
+    # replace p1 with ONE row (sheet shrank), delete p2, insert p3
+    txn2 = cat.begin()
+    new = spark.createDataFrame([("r", "p1", 0, "X"), ("r", "p3", 0, "w")],
+                                "repo string, path string, row_id int, "
+                                "v string")
+    keys = spark.createDataFrame([("r", "p1"), ("r", "p2"), ("r", "p3")],
+                                 "repo string, path string")
+    txn2.merge_replace_keys("t", new, keys, ("repo", "path"), n_buckets=4)
+    txn2.commit()
+
+    got = sorted((r["path"], r["row_id"], r["v"])
+                 for r in cat.read("t").collect())
+    assert got == [("p1", 0, "X"), ("p3", 0, "w")]
+
+
+def test_lake_schema_evolution_on_merge(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    txn = cat.begin()
+    v1 = spark.createDataFrame([("a", 1)], "k string, n int")
+    txn.merge_replace_keys("t", v1, v1.select("k"), ("k",), n_buckets=2)
+    txn.commit()
+
+    txn2 = cat.begin()
+    v2 = spark.createDataFrame([("b", 2.5, "new")],
+                               "k string, n double, extra string")
+    txn2.merge_replace_keys("t", v2, v2.select("k"), ("k",), n_buckets=2)
+    txn2.commit()
+
+    df = cat.read("t")
+    assert df.schema["n"].dataType.simpleString() == "double"
+    assert "extra" in df.columns
+    rows = {r["k"]: (r["n"], r["extra"]) for r in df.collect()}
+    assert rows["a"] == (1.0, None)      # old file upcast + null-filled
+    assert rows["b"] == (2.5, "new")
+
+
+def test_lake_commit_conflict(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id int")
+    t1 = cat.begin()
+    t2 = cat.begin()
+    t1.append("t", df)
+    t2.append("t", df)
+    t1.commit()
+    with pytest.raises(RuntimeError, match="conflict"):
+        t2.commit()
+
+
+# --------------------------------------------------------------------------
+# pipeline semantics over the fixture event log
+
+@pytest.fixture(scope="module")
+def fixture_replayed(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cdc_fixtures"))
+    pipe = CdcPipeline(spark, root, n_buckets=8)
+    events = fixture_events(spark)
+    stats = pipe.replay(events, batch_size=10)
+    return pipe, events, stats
+
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference testdata not available")
+
+
+@needs_ref
+def test_replay_final_paths(fixture_replayed):
+    pipe, _, _ = fixture_replayed
+    res = pipe.results()
+    paths = {r["path"] for r in res.select("path").distinct().collect()}
+    # testing.xls deleted; README.md filtered (non-tabular);
+    # corrupt.xlsx present as an error row
+    assert "testing.xls" not in paths
+    assert "README.md" not in paths
+    assert "corrupt.xlsx" in paths
+    err = pipe.results().filter(F.col("path") == "corrupt.xlsx").collect()
+    assert len(err) == 1 and err[0]["error"] is not None
+
+
+@needs_ref
+def test_replay_update_wins(fixture_replayed):
+    """basic.tsv was updated to basic2.tsv's content — final rows must be
+    the v2 content, proving per-path replace + latest-offset-wins."""
+    pipe, _, _ = fixture_replayed
+    got = (pipe.results().filter(F.col("path") == "basic.tsv")
+           .orderBy("row_id").select("cells").collect())
+    with open(os.path.join(REF, "basic2.tsv")) as f:
+        want = [ln.split("\t") for ln in f.read().splitlines()]
+    assert [r["cells"] for r in got] == want
+
+
+@needs_ref
+def test_replay_sha256_golden_parity(fixture_replayed):
+    """The BASELINE correctness gate: per-row sha256 of the tab-joined
+    rendered cells for the csv/tsv fixtures must equal the sha256 of the
+    golden file's own lines — 100% match rate."""
+    import hashlib
+    pipe, _, _ = fixture_replayed
+    res = pipe.results().filter(F.col("path").endswith(".tsv")
+                                | F.col("path").endswith(".csv"))
+    got = {(r["path"], r["row_id"]): r["content_sha256"]
+           for r in res.collect()}
+    n_checked = 0
+    for fn, golden in [("basic.tsv", "basic2.tsv"),  # updated content!
+                       ("basic2.tsv", "basic2.tsv"),
+                       ("testing.tsv", "testing.tsv"),
+                       ("multi_test.tsv", "multi_test.tsv")]:
+        with open(os.path.join(REF, golden)) as f:
+            lines = f.read().splitlines()
+        for i, ln in enumerate(lines):
+            want = hashlib.sha256(ln.encode()).hexdigest()
+            assert got[(fn, i)] == want, (fn, i)
+            n_checked += 1
+    assert n_checked > 30  # sanity: the gate actually ran
+
+
+@needs_ref
+def test_replay_idempotent_reapply(spark, tmp_path):
+    """Applying the same batch range twice yields the identical final
+    state (the exactly-once invariant under at-least-once delivery)."""
+    root = str(tmp_path / "lake")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    events = fixture_events(spark)
+    hwm = events.agg(F.max("offset")).collect()[0][0]
+    pipe.apply_batch(events, 0, hwm, batch_id=1)
+    s1 = state_fingerprint(pipe.results())
+    pipe.apply_batch(events, 0, hwm, batch_id=1)  # duplicate delivery
+    s2 = state_fingerprint(pipe.results())
+    assert s1 == s2
+
+
+@needs_ref
+def test_replay_batchsize_invariance(spark, tmp_path):
+    """One giant batch vs many small batches converge to the same state
+    (out-of-order tolerant within the windowed dedup)."""
+    events = fixture_events(spark)
+    pipe_a = CdcPipeline(spark, str(tmp_path / "a"), n_buckets=8,
+                         wide_view=False)
+    pipe_a.replay(events)  # single batch
+    pipe_b = CdcPipeline(spark, str(tmp_path / "b"), n_buckets=8,
+                         wide_view=False)
+    pipe_b.replay(events, batch_size=3)  # many batches
+    cols = ["repo", "path", "sheet", "row_id", "cells", "content_sha256",
+            "error"]
+    assert state_fingerprint(pipe_a.results(), cols) == \
+        state_fingerprint(pipe_b.results(), cols)
+
+
+@needs_ref
+def test_checkpoint_resume(spark, tmp_path):
+    """Stop mid-replay, build a NEW pipeline over the same lake dir, and
+    finish — the checkpoint in the manifest drives the resume."""
+    events = fixture_events(spark)
+    root = str(tmp_path / "lake")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    pipe.replay(events, batch_size=5, max_batches=2)
+    ck = pipe.lake.checkpoint()
+    assert 0 < int(ck["global"]) < events.count()
+
+    pipe2 = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    pipe2.replay(events, batch_size=5)
+    ref = CdcPipeline(spark, str(tmp_path / "ref"), n_buckets=8,
+                      wide_view=False)
+    ref.replay(events)
+    assert state_fingerprint(pipe2.results()) == \
+        state_fingerprint(ref.results())
+
+
+@needs_ref
+def test_crash_before_commit_is_invisible(spark, tmp_path):
+    """Data files staged but manifest never published: the snapshot is
+    unchanged and a re-run converges to the correct state."""
+    events = fixture_events(spark)
+    root = str(tmp_path / "lake")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    pipe.replay(events, batch_size=8, max_batches=1)
+    v_before = pipe.lake.current_version()
+
+    # simulate crash: stage a merge, skip commit
+    txn = pipe.lake.begin()
+    df = spark.createDataFrame([("x", "y.csv", "s", 0, ["1"], ["string"],
+                                 ["General"])],
+                               "repo string, path string, sheet string, "
+                               "row_id long, cells array<string>, "
+                               "types array<string>, "
+                               "formats array<string>")
+    txn.merge_replace_keys("results", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=8)
+    del txn  # never committed
+
+    assert pipe.lake.current_version() == v_before
+    assert pipe.results().filter(F.col("repo") == "x").count() == 0
+
+    # re-run to completion; orphan files stay invisible
+    pipe.replay(events, batch_size=8)
+    ref = CdcPipeline(spark, str(tmp_path / "ref"), n_buckets=8,
+                      wide_view=False)
+    ref.replay(events)
+    assert state_fingerprint(pipe.results()) == \
+        state_fingerprint(ref.results())
+
+
+@needs_ref
+def test_lineage_and_metrics(fixture_replayed):
+    pipe, events, stats = fixture_replayed
+    lin = pipe.lake.lineage()
+    assert len(lin) >= 2
+    # offsets covered contiguously, per-partition stats present
+    assert lin[0]["lo"] == 0
+    for a, b in zip(lin, lin[1:]):
+        assert b["lo"] == a["hi"]
+    assert any(e["partitions"] for e in lin)
+    m = pipe.metrics()
+    total_events = m.agg(F.sum("n_events")).collect()[0][0]
+    # metrics count tabular events only
+    tab = events.filter(F.col("path").rlike(r"\.(xlsx?|[ct]sv)$")).count()
+    assert total_events == tab
+    assert m.filter(F.col("n_error_rows") > 0).count() >= 1
+
+
+@needs_ref
+def test_wide_view_schema_evolution_fixtures(fixture_replayed):
+    """multi_test has 7 columns, basic 4 — the wide table must have
+    widened to the max and carry NULLs for narrow sheets."""
+    pipe, _, _ = fixture_replayed
+    wide = pipe.results_wide()
+    assert "c007" in wide.columns
+    row = wide.filter((F.col("path") == "basic2.tsv")
+                      & (F.col("row_id") == 1)).collect()[0]
+    assert row["c001"] == "1" and row["c007"] is None
+
+
+# --------------------------------------------------------------------------
+# synthetic documents replay: oracle-style end-to-end state check
+
+def test_synthetic_replay_matches_expected(spark, tmp_path):
+    events = synthetic_doc_events(spark, SF)
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=16,
+                       wide_view=True)
+    pipe.replay(events, batch_size=max(8, events.count() // 3))
+
+    # expected: extract the expected final blob set directly
+    from grate_spark.operators.extraction import (extract_files,
+                                                  with_content_sha)
+    expected = with_content_sha(
+        extract_files(expected_final_blobs(spark, SF)))
+    cols = ["repo", "path", "row_id", "cells", "content_sha256"]
+    assert state_fingerprint(pipe.results(), cols) == \
+        state_fingerprint(expected, cols)
+
+    # schema evolution happened: v2 blobs add a 4th column
+    assert "c004" in pipe.results_wide().columns
+    # v1-only paths (never updated) have NULL c004 beyond their width
+    v1_only = (pipe.results_wide()
+               .filter(F.pmod(F.xxhash64("path"), F.lit(3)) != 0)
+               .filter(F.col("row_id") >= 1))
+    assert v1_only.filter(F.col("c004").isNotNull()).count() == 0
+    assert v1_only.count() > 0
