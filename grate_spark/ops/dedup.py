@@ -1,0 +1,194 @@
+"""Deduplication operators: MinHash signatures, LSH banding pairs,
+SimHash fingerprints, n-gram Jaccard similarity.
+
+All four are scan -> higher-order-array-function -> (window|join|agg)
+plans — no UDFs, fully whole-stage-codegen. Shuffles: the LSH pair join
+shuffles on (band, key) which is exactly the skew-resistant layout (a
+band bucket is at most a near-dup cluster); Jaccard blocks on
+(lang, n_chars) before any pairing so the quadratic step never sees the
+full table. At 100 TB both would run over the extracted/normalized text
+column with the same plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import (md5_bigint_expr, md5_bigint_sql, word_shingles_expr,
+               word_shingles_sql)
+from ..queries_util import table
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = 2
+SIMHASH_BITS = 16
+SAMPLE_DOCS = 60  # signature-query output bound
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return (docs
+            .filter(F.size(F.split("text", " ")) >= 3)
+            .withColumn("shingles", F.expr(word_shingles_expr("text", 3))))
+
+
+def _with_minhash(docs: DataFrame) -> DataFrame:
+    sig = [F.expr(f"array_min(transform(shingles, s -> "
+                  f"{md5_bigint_expr('s', j)}))").alias(f"mh{j}")
+           for j in range(N_HASHES)]
+    return _with_shingles(docs).select("doc_id", "lang", *sig)
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc MinHash signature (first SAMPLE_DOCS docs)."""
+    docs = table(spark, sf, "documents")
+    return (_with_minhash(docs)
+            .filter(F.col("doc_id") < SAMPLE_DOCS)
+            .orderBy("doc_id"))
+
+
+def _minhash_sig_sql() -> str:
+    sig = ",\n       ".join(
+        f"list_min(list_transform({word_shingles_sql('text', 3)}, "
+        f"s -> {md5_bigint_sql('s', j)})) AS mh{j}"
+        for j in range(N_HASHES))
+    return f"""
+SELECT doc_id, lang,
+       {sig}
+FROM documents
+WHERE len(str_split(text, ' ')) >= 3 AND doc_id < {SAMPLE_DOCS}
+ORDER BY doc_id
+"""
+
+
+MINHASH_SIGNATURES_SQL = _minhash_sig_sql()
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket
+    (b=4 bands x r=2 rows over the 8-hash signature)."""
+    mh = _with_minhash(table(spark, sf, "documents"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(":", f"mh{2 * b}", f"mh{2 * b + 1}")
+                 .alias("key"))
+        for b in range(N_BANDS)])
+    buckets = (mh.select("doc_id", F.explode(bands).alias("bk"))
+               .select("doc_id", "bk.band", "bk.key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
+
+
+def _lsh_pairs_sql() -> str:
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform({word_shingles_sql('text', 3)}, "
+        f"s -> {md5_bigint_sql('s', j)})) AS mh{j}"
+        for j in range(N_HASHES))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} || ':' || mh{2 * b + 1} "
+        f"AS key FROM sigs"
+        for b in range(N_BANDS))
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM documents WHERE len(str_split(text, ' ')) >= 3
+), buckets AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+MINHASH_LSH_PAIRS_SQL = _lsh_pairs_sql()
+
+
+def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per doc: explode tokens, per-bit signed
+    vote, reassemble. One shuffle (groupBy doc_id), partial aggregation
+    map-side."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.withColumn("h", F.expr(md5_bigint_expr("tok", "sim")))
+    votes = [F.sum(F.expr(f"2 * cast((h >> {j}) & 1 as int) - 1"))
+             .alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    agg = h.groupBy("doc_id").agg(*votes)
+    fp = sum(F.when(F.col(f"s{j}") > 0,
+                    F.lit(1 << j)).otherwise(F.lit(0))
+             for j in range(SIMHASH_BITS))
+    return (agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+            .filter(F.col("doc_id") < SAMPLE_DOCS)
+            .orderBy("doc_id"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(2 * CAST((h >> {j}) & 1 AS INT) - 1) AS s{j}"
+        for j in range(SIMHASH_BITS))
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+                    for j in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {md5_bigint_sql('tok', 'sim')} AS h
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents)
+), agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM agg WHERE doc_id < {SAMPLE_DOCS}
+ORDER BY doc_id
+"""
+
+
+SIMHASH_FINGERPRINTS_SQL = _simhash_sql()
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-2-gram Jaccard for blocked candidate pairs (same lang +
+    same n_chars — the cheap deterministic blocking step; LSH pairs would
+    feed this at scale)."""
+    docs = (table(spark, sf, "documents")
+            .filter(F.size(F.split("text", " ")) >= 2)
+            .withColumn("grams",
+                        F.array_distinct(
+                            F.expr(word_shingles_expr("text", 2))))
+            .select("doc_id", "lang", "n_chars", "grams"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.n_chars") == F.col("b.n_chars"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round(inter.cast("double") / union, 4)
+                    .alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct({word_shingles_sql('text', 2)}) AS grams
+  FROM documents WHERE len(str_split(text, ' ')) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""

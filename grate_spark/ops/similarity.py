@@ -1,0 +1,138 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline. The
+  dot product is a zip_with/aggregate fold (JVM-side, codegen); queries
+  are a broadcast side so the scan of the big side streams once.
+- ``ann_ivf_topk``: IVF-style ANN — a small set of coarse centroids
+  partitions the vector space; each vector is assigned to its nearest
+  centroid (one broadcast pass), and a query searches only its own
+  centroid's bucket. At 100 TB the bucket assignment is the shuffle key
+  (cluster-pruned scan); here centroids are the first K vectors, which
+  keeps the oracle exactly reproducible in SQL.
+
+Rounding to 4 decimals happens on BOTH engines before ranking so
+summation-order ulps cannot flip the hash or the rank order (ties break
+by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries_util import table
+
+N_QUERIES = 5      # vec_id < 5 are the query vectors
+TOP_K = 3
+N_CENTROIDS = 8    # IVF coarse centers: vec_id < 8
+IVF_QUERIES = (8, 9, 10, 11, 12)
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> "
+        "cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+_NORM = ("sqrt(aggregate({v}, 0D, (acc, x) -> "
+         "acc + cast(x as double) * cast(x as double)))")
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return (f"round({_DOT.format(a=a, b=b)} / "
+            f"({_NORM.format(v=a)} * {_NORM.format(v=b)}), 4)")
+
+
+def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"))
+    pairs = (emb.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("cos", F.expr(_cos_expr("qv", "embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank")
+            .orderBy("query_id", "rank"))
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      q.qv), 4) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS) \
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("cv"))
+    # assign every vector to its nearest centroid (broadcast pass)
+    assigned = (emb.crossJoin(F.broadcast(cents))
+                .withColumn("ccos", F.expr(_cos_expr("cv", "embedding"))))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                              "centroid_id")
+    assignment = (assigned.withColumn("r", F.row_number().over(wa))
+                  .filter(F.col("r") == 1)
+                  .select("vec_id", "embedding", "centroid_id"))
+    q = assignment.filter(F.col("vec_id").isin(list(IVF_QUERIES))) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.col("centroid_id").alias("qc"))
+    # search only within the query's bucket — the cluster-pruned scan
+    cand = (assignment.join(F.broadcast(q),
+                            (F.col("centroid_id") == F.col("qc"))
+                            & (F.col("vec_id") != F.col("query_id")))
+            .withColumn("cos", F.expr(_cos_expr("qv", "embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank")
+            .orderBy("query_id", "rank"))
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      c.cv), 4) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+), assignment AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id) AS r
+    FROM assigned) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+  FROM assignment WHERE vec_id IN {IVF_QUERIES}
+), cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, q.qv), 4) AS cos
+  FROM assignment a JOIN q
+    ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

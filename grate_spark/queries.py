@@ -354,7 +354,58 @@ ORDER BY source, row_id
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: binary payload column -> byte-level features through the
+# Arrow UDF (decode kernels stubbed; plumbing oracle-checked end-to-end).
+
+def multimodal_features(spark, sf):
+    from grate_spark.operators.multimodal import (docs_as_media,
+                                                  extract_media_features)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return (extract_media_features(docs_as_media(docs))
+            .orderBy("media_id"))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       (['image','audio','video','blob'])[(doc_id % 4) + 1]
+         AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(1 + octet_length(encode(text)) // 1024 AS INT) AS n_frames,
+       sha256(text) AS content_sha256
+FROM documents WHERE doc_id < 100
+ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
+
+def _training_data_queries() -> dict:
+    from grate_spark.ops import dedup, similarity, text
+
+    return {
+        "minhash_signatures": (dedup.minhash_signatures,
+                               dedup.MINHASH_SIGNATURES_SQL),
+        "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
+                              dedup.MINHASH_LSH_PAIRS_SQL),
+        "simhash_fingerprints": (dedup.simhash_fingerprints,
+                                 dedup.SIMHASH_FINGERPRINTS_SQL),
+        "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
+                                dedup.NGRAM_JACCARD_PAIRS_SQL),
+        "cosine_topk": (similarity.cosine_topk,
+                        similarity.COSINE_TOPK_SQL),
+        "ann_ivf_topk": (similarity.ann_ivf_topk,
+                         similarity.ANN_IVF_TOPK_SQL),
+        "langid_predictions": (text.langid_predictions,
+                               text.LANGID_PREDICTIONS_SQL),
+        "quality_scores": (text.quality_scores, text.QUALITY_SCORES_SQL),
+        "token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
+        "doc_fingerprints": (text.doc_fingerprints,
+                             text.DOC_FINGERPRINTS_SQL),
+        "multimodal_features": (multimodal_features,
+                                MULTIMODAL_FEATURES_SQL),
+    }
+
 
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -371,3 +422,4 @@ QUERIES = {
                               EXTRACT_CSV_ROUNDTRIP_SQL),
     "extract_csv_sha": (extract_csv_sha, EXTRACT_CSV_SHA_SQL),
 }
+QUERIES.update(_training_data_queries())
