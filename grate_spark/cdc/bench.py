@@ -22,10 +22,71 @@ from .events import EVENT_COLS
 from .pipeline import CdcPipeline
 
 
+_XLSX_RELS = (b'<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+              b'openxmlformats.org/package/2006/relationships">'
+              b'<Relationship Id="rId1" Type="http://schemas.openxml'
+              b'formats.org/officeDocument/2006/relationships/office'
+              b'Document" Target="xl/workbook.xml"/></Relationships>')
+_XLSX_WORKBOOK = (b'<?xml version="1.0"?><workbook xmlns="http://schemas.'
+                  b'openxmlformats.org/spreadsheetml/2006/main" xmlns:r='
+                  b'"http://schemas.openxmlformats.org/officeDocument/'
+                  b'2006/relationships"><sheets><sheet name="data" '
+                  b'sheetId="1" r:id="rId1"/></sheets></workbook>')
+_XLSX_WB_RELS = (b'<?xml version="1.0"?><Relationships xmlns="http://'
+                 b'schemas.openxmlformats.org/package/2006/relationships">'
+                 b'<Relationship Id="rId1" Type="http://schemas.openxml'
+                 b'formats.org/officeDocument/2006/relationships/work'
+                 b'sheet" Target="worksheets/sheet1.xml"/></Relationships>')
+
+
+def _csv_body_to_xlsx(body: str) -> bytes:
+    """Deterministic minimal OOXML workbook from a CSV body: numeric
+    cells as <c t="n">, text as inline strings. This is the bench's own
+    writer (the engine never writes xlsx) — kept tiny on purpose."""
+    import io
+    import zipfile
+
+    lines = body.split("\n")
+    ncols = lines[0].count(",") + 1
+    out = io.StringIO()
+    out.write('<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+              'openxmlformats.org/spreadsheetml/2006/main">')
+    out.write(f'<dimension ref="A1:{chr(64 + ncols)}{len(lines)}"/>'
+              '<sheetData>')
+    for ri, line in enumerate(lines, start=1):
+        out.write(f'<row r="{ri}">')
+        for ci, valraw in enumerate(line.split(",")):
+            ref = f"{chr(65 + ci)}{ri}"
+            if valraw and (valraw.isdigit()
+                           or (valraw[0] == "-" and valraw[1:].isdigit())):
+                out.write(f'<c r="{ref}" t="n"><v>{valraw}</v></c>')
+            else:
+                out.write(f'<c r="{ref}" t="inlineStr"><is><t>{valraw}'
+                          '</t></is></c>')
+        out.write("</row>")
+    out.write("</sheetData></worksheet>")
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        stamp = (1980, 1, 1, 0, 0, 0)  # fixed -> byte-deterministic
+        for name, data in (
+                ("_rels/.rels", _XLSX_RELS),
+                ("xl/workbook.xml", _XLSX_WORKBOOK),
+                ("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS),
+                ("xl/worksheets/sheet1.xml", out.getvalue().encode())):
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
 def bench_blobs(spark: SparkSession, sf_dir: str, n_files: int,
-                rows_per_file: int, version: int) -> DataFrame:
-    """n_files CSV blobs of ~rows_per_file rows built from documents.
-    version 2 adds a column and perturbs the content."""
+                rows_per_file: int, version: int,
+                fmt: str = "mixed") -> DataFrame:
+    """n_files blobs of ~rows_per_file rows built from documents.
+    version 2 adds a column and perturbs the content. ``fmt``:
+    'csv' | 'xlsx' | 'mixed' (even file_ids csv, odd xlsx — the
+    realistic spreadsheet-heavy mix; xlsx costs ~10-30x more to extract
+    per file, which is the workload grate exists for)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .select("doc_id", "lang", "n_chars")
     n_docs = docs.count()
@@ -47,23 +108,50 @@ def bench_blobs(spark: SparkSession, sf_dir: str, n_files: int,
                 F.transform(F.array_sort(F.collect_list(
                     F.struct("doc_id", "r", "line"))),
                     lambda x: x["line"]), "\n").alias("body")))
-    return body.select(
+    blobs = body.select(
+        F.col("file_id"),
         F.concat(F.lit("bench-repo-"),
                  (F.col("file_id") % 16).cast("string")).alias("repo"),
-        F.concat(F.lit("f"), F.col("file_id").cast("string"),
-                 F.lit(".csv")).alias("path"),
         F.concat(F.lit(f"v{version}-"),
                  F.col("file_id").cast("string")).alias("commit"),
-        F.lit("csv").alias("lang"),
-        F.concat(F.lit(header + "\n"), F.col("body")).alias("content"))
+        F.concat(F.lit(header + "\n"), F.col("body")).alias("csv_body"))
+
+    if fmt == "csv":
+        is_xlsx = F.lit(False)
+    elif fmt == "xlsx":
+        is_xlsx = F.lit(True)
+    else:
+        is_xlsx = F.col("file_id") % 2 == 1
+
+    blobs = blobs.withColumn("is_xlsx", is_xlsx)
+
+    @F.pandas_udf("string")
+    def to_xlsx_b64(bodies):
+        import base64 as _b64
+        import pandas as _pd
+        return _pd.Series([
+            _b64.b64encode(_csv_body_to_xlsx(b)).decode("ascii")
+            for b in bodies])
+
+    return blobs.select(
+        "repo",
+        F.concat(F.lit("f"), F.col("file_id").cast("string"),
+                 F.when(F.col("is_xlsx"), F.lit(".xlsx"))
+                 .otherwise(F.lit(".csv"))).alias("path"),
+        "commit",
+        F.when(F.col("is_xlsx"), F.lit("xlsx")).otherwise(F.lit("csv"))
+        .alias("lang"),
+        F.when(F.col("is_xlsx"), to_xlsx_b64(F.col("csv_body")))
+        .otherwise(F.col("csv_body")).alias("content"))
 
 
 def bench_events(spark: SparkSession, sf_dir: str, n_files: int = 800,
                  rows_per_file: int = 50,
-                 n_partitions: int = 16) -> DataFrame:
-    v1 = bench_blobs(spark, sf_dir, n_files, rows_per_file, 1) \
+                 n_partitions: int = 16,
+                 fmt: str = "mixed") -> DataFrame:
+    v1 = bench_blobs(spark, sf_dir, n_files, rows_per_file, 1, fmt) \
         .withColumn("op", F.lit("I")).withColumn("phase", F.lit(1))
-    v2 = bench_blobs(spark, sf_dir, n_files, rows_per_file, 2) \
+    v2 = bench_blobs(spark, sf_dir, n_files, rows_per_file, 2, fmt) \
         .filter(F.pmod(F.xxhash64("path"), F.lit(3)) == 0) \
         .withColumn("op", F.lit("U")).withColumn("phase", F.lit(2))
     dels = v1.select("repo", "path") \
@@ -84,25 +172,43 @@ def bench_events(spark: SparkSession, sf_dir: str, n_files: int = 800,
 
 def replay_events_per_sec(spark: SparkSession, sf_dir: str,
                           n_files: int | None = None,
-                          n_batches: int = 4,
+                          rows_per_file: int | None = None,
+                          n_batches: int | None = None,
                           workdir: str | None = None) -> dict:
     """Materialize a bench event log, then time a full checkpointed
-    replay. Returns events/sec plus breakdowns."""
-    n_files = n_files or int(os.environ.get("GRATE_BENCH_FILES", "600"))
+    replay. Returns events/sec plus breakdowns.
+
+    The timed section is the replay only (the canonical results table;
+    the wide projection is exercised by the correctness suite, not the
+    throughput metric).
+    """
+    n_files = n_files or int(os.environ.get("GRATE_BENCH_FILES", "6000"))
+    rows_per_file = rows_per_file or int(
+        os.environ.get("GRATE_BENCH_ROWS", "100"))
+    n_batches = n_batches or int(os.environ.get("GRATE_BENCH_BATCHES",
+                                                "4"))
+    fmt = os.environ.get("GRATE_BENCH_FMT", "mixed")
     own_tmp = workdir is None
-    workdir = workdir or tempfile.mkdtemp(prefix="grate-replay-bench-")
+    if workdir is None:
+        # tmpfs when available: the sandbox's virtio /tmp has erratic
+        # multi-second write latency that swamps the engine signal; a
+        # cluster would be writing to an object store, not this disk
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        workdir = tempfile.mkdtemp(prefix="grate-replay-bench-", dir=base)
     ev_path = os.path.join(workdir, "events.parquet")
     lake_root = os.path.join(workdir, "lake")
     try:
-        bench_events(spark, sf_dir, n_files=n_files) \
+        bench_events(spark, sf_dir, n_files=n_files,
+                     rows_per_file=rows_per_file, fmt=fmt) \
             .write.mode("overwrite").parquet(ev_path)
         events = spark.read.parquet(ev_path)
         n_events = events.count()
 
-        pipe = CdcPipeline(spark, lake_root, n_buckets=64)
+        pipe = CdcPipeline(spark, lake_root, n_buckets=64,
+                           wide_view=False)
         batch = max(1, (n_events + n_batches - 1) // n_batches)
         t0 = time.perf_counter()
-        pipe.replay(events, batch_size=batch)
+        stats = pipe.replay(events, batch_size=batch)
         elapsed = time.perf_counter() - t0
 
         n_rows = pipe.results().count()
@@ -111,7 +217,11 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
                 "n_result_rows": n_rows,
                 "replay_seconds": round(elapsed, 3),
                 "n_batches": n_batches,
-                "n_files": n_files}
+                "n_files": n_files,
+                "fmt": fmt,
+                "rows_per_file": rows_per_file,
+                "batch_seconds": [round(s.get("seconds", 0), 2)
+                                  for s in stats]}
     finally:
         if own_tmp:
             shutil.rmtree(workdir, ignore_errors=True)

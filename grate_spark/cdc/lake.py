@@ -12,12 +12,17 @@ cluster deployment):
   version already exists -> optimistic concurrency). Data+offsets commit
   together, so re-applying a batch after any crash is a no-op.
   [Iceberg: single transaction / WAP + snapshot metadata]
-- **key-partitioned MERGE**: tables are hash-bucketed on their merge key;
-  a merge rewrites only the buckets touched by the batch (copy-on-write),
-  carrying all other files forward untouched. At 10^10-event scale a
-  batch touches a small fraction of buckets, so rewrite cost tracks batch
-  size, not table size. [Iceberg: MERGE INTO over a bucket-partitioned
-  table with SPJ]
+- **key-partitioned MERGE, merge-on-read**: tables are hash-bucketed on
+  their merge key. A merge appends (a) the batch's new rows stamped with
+  the commit sequence and (b) a key-marker ("tombstone") file carrying
+  the batch's touched keys at that sequence — O(batch) write cost, no
+  table rewrite. Reads drop any row superseded by a newer marker for its
+  key (per-key latest-writer-wins); ``compact()`` folds markers into the
+  data files. At 10^10-event scale this is what keeps per-batch cost
+  proportional to batch size — the copy-on-write alternative rewrites
+  every touched bucket and degenerates to O(table) per batch when batch
+  keys are hash-uniform. [Iceberg: MoR MERGE INTO with equality deletes
+  + maintenance compaction]
 - **schema evolution**: each file records the schema it was written with;
   reads align every file group to the current table schema (missing
   columns -> NULL, types upcast along int->bigint->double->string). A
@@ -36,8 +41,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DataType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (DataType, LongType, StringType,
+                               StructField, StructType)
 
 MANIFEST_DIR = "_commits"
 DATA_DIR = "data"
@@ -80,9 +85,11 @@ def merge_schemas(old: StructType, new: StructType) -> StructType:
     return StructType(fields)
 
 
-def _align(df: DataFrame, target: StructType) -> DataFrame:
+def _align(df: DataFrame, target: StructType,
+           extras: tuple[str, ...] = ()) -> DataFrame:
     """Project df onto the target schema: missing cols -> NULL, types
-    cast. Pure Catalyst projections — stays in whole-stage codegen."""
+    cast; ``extras`` pass through untouched. Pure Catalyst projections —
+    stays in whole-stage codegen."""
     cols = []
     have = set(df.columns)
     for f in target.fields:
@@ -90,6 +97,7 @@ def _align(df: DataFrame, target: StructType) -> DataFrame:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols += [F.col(c) for c in extras]
     return df.select(*cols)
 
 
@@ -139,21 +147,11 @@ class LakeCatalog:
             return None
         return StructType.fromJson(json.loads(t["schemas"][t["schema_id"]]))
 
-    def read(self, name: str, manifest: dict | None = None,
-             buckets: list[int] | None = None) -> DataFrame:
-        """Snapshot read: live files aligned to the current schema.
-
-        ``buckets`` prunes to the named hash-buckets using the manifest's
-        file->bucket index alone — no data is scanned for the skipped
-        buckets (the flat-file analog of Iceberg partition pruning; this
-        is what keeps per-batch MERGE cost proportional to batch size,
-        not table size)."""
-        m = manifest or self.manifest()
-        t = m["tables"].get(name)
-        if not t:
-            raise KeyError(f"lake: no such table {name!r}")
-        current = StructType.fromJson(
-            json.loads(t["schemas"][t["schema_id"]]))
+    def _data_union(self, t: dict, buckets: list[int] | None,
+                    current: StructType) -> DataFrame | None:
+        """Union all live data files aligned to current schema + _seq."""
+        target = StructType(list(current.fields)
+                            + [StructField("_seq", LongType(), True)])
         wanted = None if buckets is None else {str(b) for b in buckets}
         groups: dict[int, list[str]] = {}
         for b, bucket_files in t["files"].items():
@@ -163,20 +161,119 @@ class LakeCatalog:
                 groups.setdefault(entry["schema_id"], []).append(
                     os.path.join(self.root, entry["path"]))
         if not groups:
-            return self.spark.createDataFrame([], current)
+            return None
         parts = []
         for sid, paths in sorted(groups.items()):
-            file_schema = StructType.fromJson(json.loads(t["schemas"][sid]))
+            fs = StructType.fromJson(json.loads(t["schemas"][sid]))
+            fs = StructType(list(fs.fields)
+                            + [StructField("_seq", LongType(), True)])
             parts.append(_align(
-                self.spark.read.schema(file_schema).parquet(*paths),
-                current))
+                self.spark.read.schema(fs).parquet(*paths), target))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def _markers(self, t: dict) -> DataFrame | None:
+        """Union key-marker (tombstone) files: key cols + seq. Markers
+        are small (cumulative distinct touched keys, reset by compact)
+        and stored unbucketed — always read in full; pruned-bucket reads
+        simply won't match the extra keys."""
+        paths = [os.path.join(self.root, e["path"])
+                 for fs in t.get("markers", {}).values() for e in fs]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def read(self, name: str, manifest: dict | None = None,
+             buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read (merge-on-read): data files minus rows
+        superseded by a newer key marker — per-key latest-writer-wins.
+
+        ``buckets`` prunes files via the manifest's file->bucket index
+        alone — no data scanned for skipped buckets (the flat-file
+        analog of Iceberg partition pruning)."""
+        m = manifest or self.manifest()
+        t = m["tables"].get(name)
+        if not t:
+            raise KeyError(f"lake: no such table {name!r}")
+        current = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        data = self._data_union(t, buckets, current)
+        if data is None:
+            return self.spark.createDataFrame([], current)
+        markers = self._markers(t)
+        if markers is not None:
+            key_cols = list(t["key_cols"])
+            latest = (markers.groupBy(*key_cols)
+                      .agg(F.max("seq").alias("_mseq")))
+            # markers are the cumulative distinct touched keys — small
+            # vs data; broadcast keeps the data side shuffle-free (at
+            # cluster scale both sides are co-bucketed -> SPJ instead)
+            # files written before any merge (or by compact) carry no
+            # _seq column -> NULL -> treated as sequence 0 (oldest)
+            data = (data.join(F.broadcast(latest), key_cols, "left")
+                    .filter(F.coalesce(F.col("_seq"), F.lit(0)) >=
+                            F.coalesce(F.col("_mseq"), F.lit(0)))
+                    .drop("_mseq"))
+        return data.drop("_seq")
+
     def begin(self) -> "Transaction":
         return Transaction(self)
+
+    def vacuum(self, keep_manifests: int = 10) -> dict:
+        """Delete data/marker files not referenced by the CURRENT
+        manifest, and manifests older than the last ``keep_manifests``.
+        The GC companion of compact() — superseded files accumulate
+        under copy-on-write/MoR until removed. [Iceberg:
+        expire_snapshots + remove_orphan_files]
+
+        Safe because readers always resolve the newest manifest; only
+        run when no reader needs time travel past ``keep_manifests``.
+        """
+        m = self.manifest()
+        live: set[str] = set()
+        for t in m["tables"].values():
+            for fs in t["files"].values():
+                live.update(e["path"] for e in fs)
+            for fs in t.get("markers", {}).values():
+                live.update(e["path"] for e in fs)
+
+        removed = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root,
+                                                     topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and not fn.startswith("."):
+                    keep = rel in live
+                elif fn.endswith(".crc") and fn.startswith("."):
+                    # checksum sidecar: keep iff its data file is live
+                    data_rel = os.path.join(
+                        os.path.dirname(rel), fn[1:-4])
+                    keep = data_rel in live
+                else:
+                    # _SUCCESS markers etc: manifest is the authority
+                    keep = False
+                if not keep:
+                    os.unlink(full)
+                    removed += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+
+        pruned = 0
+        current = self.current_version()
+        for fn in os.listdir(os.path.join(self.root, MANIFEST_DIR)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if v <= current - keep_manifests:
+                    os.unlink(os.path.join(self.root, MANIFEST_DIR, fn))
+                    pruned += 1
+        return {"files_removed": removed, "manifests_pruned": pruned}
 
 
 def _bucket_expr(key_cols: tuple[str, ...], n_buckets: int):
@@ -211,7 +308,8 @@ class Transaction:
                  "schema_id": 0,
                  "key_cols": list(key_cols),
                  "n_buckets": n_buckets,
-                 "files": {}}
+                 "files": {},
+                 "markers": {}}
             self.tables[name] = t
         return t
 
@@ -226,21 +324,32 @@ class Transaction:
 
     def _write_bucketed(self, table: str, t: dict, df: DataFrame,
                         schema: StructType,
-                        buckets: list[int] | None) -> dict[str, list[dict]]:
-        """Write df (aligned to schema) partitioned by bucket; returns
-        {bucket: [file entries]}. ``buckets`` limits output to the touched
-        set (None = all)."""
+                        buckets: list[int] | None,
+                        extra_cols: tuple[str, ...] = (),
+                        align_schema: bool = True
+                        ) -> dict[str, list[dict]]:
+        """Write df (aligned to schema + passthrough extras) partitioned
+        by bucket; returns {bucket: [file entries]}. ``buckets`` limits
+        output to the touched set (None = all)."""
         key_cols = tuple(t["key_cols"])
         nb = t["n_buckets"]
-        out = _align(df, schema).withColumn(
-            "_bucket", _bucket_expr(key_cols, nb))
+        if align_schema:
+            out = _align(df, schema, extras=extra_cols)
+        else:
+            out = df
+        out = out.withColumn("_bucket", _bucket_expr(key_cols, nb))
         if buckets is not None:
             out = out.filter(F.col("_bucket").isin(buckets))
         rel = self._stage_dir(table)
         full = os.path.join(self.cat.root, rel)
-        # repartition by bucket so each bucket dir gets coherent files;
-        # AQE coalesces small outputs
-        (out.repartition(max(len(buckets or []) or nb, 1), "_bucket")
+        # hash-repartition by bucket: several buckets may share a task
+        # (partitionBy still yields one file per bucket per task), so
+        # task count tracks cores, not bucket count — no tiny-file waves
+        # at low parallelism, no idle cores at high
+        n_buckets_out = max(len(buckets or []) or nb, 1)
+        par = self.cat.spark.sparkContext.defaultParallelism
+        k = max(1, min(n_buckets_out, 2 * par))
+        (out.repartition(k, "_bucket")
             .write.partitionBy("_bucket").mode("overwrite").parquet(full))
         files: dict[str, list[dict]] = {}
         sid = t["schema_id"]
@@ -266,6 +375,7 @@ class Transaction:
         t["files"] = {str(b): fs for b, fs in
                       self._write_bucketed(name, t, df, schema,
                                            None).items()}
+        t["markers"] = {}
 
     def append(self, name: str, df: DataFrame,
                key_cols: tuple[str, ...] = (),
@@ -283,22 +393,23 @@ class Transaction:
                            key_cols: tuple[str, ...],
                            n_buckets: int = 32,
                            touched: list[int] | None = None) -> dict:
-        """The MERGE/upsert: atomically replace every row whose merge key
-        appears in ``delete_keys`` with the rows of ``new_rows`` (which
-        must carry the same key columns; keys not previously present are
-        plain inserts).
+        """The MERGE/upsert, merge-on-read: atomically replace every row
+        whose merge key appears in ``delete_keys`` with the rows of
+        ``new_rows`` (keys not previously present are plain inserts).
 
         CDC semantics for file blobs: an update re-extracts the whole
-        file, so its old rows are dropped wholesale (a sheet may shrink);
-        a delete contributes a key with no new rows. Equivalent to
-        Iceberg `MERGE INTO ... WHEN MATCHED [AND src.op='D'] THEN
-        DELETE/UPDATE WHEN NOT MATCHED THEN INSERT` keyed on the file.
-
-        Returns merge stats (buckets touched, rows in/out).
+        file, so its old rows are dropped wholesale (a sheet may
+        shrink); a delete contributes a key with no new rows. Equivalent
+        to Iceberg MoR `MERGE INTO` with equality deletes: the batch's
+        rows are appended stamped with this commit's sequence, and the
+        batch's keys land in a marker file at the same sequence; readers
+        drop rows older than their key's newest marker. Write cost is
+        O(batch) — the table is never rewritten here (see ``compact``).
         """
         t = self._ensure_table(name, new_rows.schema, key_cols, n_buckets)
         schema = self._evolve_schema(t, new_rows.schema)
         nb = t["n_buckets"]
+        seq = self.base["version"] + 1
 
         keys = delete_keys.select(*key_cols).distinct()
         if touched is None:
@@ -310,21 +421,46 @@ class Transaction:
         else:
             touched = sorted(set(touched))
         if not touched:
-            return {"buckets": [], "rows_written": 0}
+            return {"buckets": [], "files": []}
 
-        # survivors: rows of touched buckets whose key is NOT in the batch.
-        # Only the touched buckets' files are read (manifest pruning);
-        # delete_keys is bounded by batch size -> broadcast the anti-join
-        old = self.cat.read(name, {"tables": self.tables, "version": -1},
-                            buckets=touched)
-        survivors = old.join(F.broadcast(keys), list(key_cols),
-                             "left_anti")
-        out = _align(survivors, schema).unionByName(_align(new_rows, schema))
+        data = _align(new_rows, schema).withColumn(
+            "_seq", F.lit(seq).cast("long"))
+        files = self._write_bucketed(name, t, data, schema, touched,
+                                     extra_cols=("_seq",))
+        for b, fs in files.items():
+            t["files"].setdefault(b, []).extend(fs)
 
-        files = self._write_bucketed(name, t, out, schema, touched)
-        for b in touched:
-            t["files"][str(b)] = files.get(str(b), [])
-        return {"buckets": touched, "rows_written": None}
+        # markers: tiny (batch's distinct keys) -> single-task write, no
+        # shuffle; stored unbucketed (read in full, reset by compact)
+        markers = keys.withColumn("seq", F.lit(seq).cast("long"))
+        rel = self._stage_dir(name + ".markers")
+        full = os.path.join(self.cat.root, rel)
+        markers.coalesce(1).write.mode("overwrite").parquet(full)
+        t.setdefault("markers", {})
+        entries = [{"path": os.path.join(rel, fn),
+                    "schema_id": t["schema_id"]}
+                   for fn in sorted(os.listdir(full))
+                   if fn.endswith(".parquet")]
+        t["markers"].setdefault("_all", []).extend(entries)
+
+        new_paths = [os.path.join(self.cat.root, e["path"])
+                     for fs in files.values() for e in fs]
+        return {"buckets": touched, "files": new_paths}
+
+    def compact(self, name: str) -> None:
+        """Fold markers into the data: rewrite every bucket with only
+        live rows, drop all marker files. The maintenance analog of
+        Iceberg rewrite_data_files + rewrite_position_delete_files; run
+        periodically, off the ingest critical path."""
+        t = self.tables.get(name)
+        if not t or not t.get("markers"):
+            return
+        schema = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        live = self.cat.read(name, {"tables": self.tables, "version": -1})
+        files = self._write_bucketed(name, t, live, schema, None)
+        t["files"] = {b: fs for b, fs in files.items()}
+        t["markers"] = {}
 
     def set_checkpoint(self, offsets: dict[str, int],
                        lineage_entry: dict | None = None,

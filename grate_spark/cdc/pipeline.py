@@ -61,6 +61,8 @@ class CdcPipeline:
         self.n_partitions = n_partitions or int(
             spark.sparkContext.defaultParallelism)
         self.wide_view = wide_view
+        self.force_repartition = n_partitions is not None
+        self._pending_metrics: list[tuple] = []
 
     # -- one micro-batch -------------------------------------------------------
 
@@ -70,13 +72,28 @@ class CdcPipeline:
         batch = (events
                  .filter((F.col("offset") > lo) & (F.col("offset") <= hi))
                  .filter(F.col("path").rlike(TABULAR_SUFFIX_RE)))
+        return self._apply(batch, lo, hi, batch_id)
+
+    def _apply(self, batch: DataFrame, lo: int, hi: int,
+               batch_id: int) -> dict:
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("GRATE_CDC_TIMING") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            nonlocal _t0
+            if _dbg:
+                now = _time.perf_counter()
+                print(f"    [batch {batch_id}] {label}: "
+                      f"{now - _t0:.2f}s", flush=True)
+                _t0 = now
 
         # latest-offset-wins per file key within the batch
         w = Window.partitionBy("repo", "path").orderBy(F.desc("offset"))
         latest = (batch.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn"))
         latest.cache()
-        rows = None
         try:
             # ONE driver action gives per-partition lineage, the event
             # count, and the touched-bucket set (shared by both merges)
@@ -89,6 +106,7 @@ class CdcPipeline:
                                   MERGE_KEY, self.n_buckets))
                               .alias("buckets"))
                          .orderBy("partition").collect())
+            _mark("part stats")
             n_events = sum(r["n"] for r in part_rows)
             if n_events == 0:
                 return {"batch_id": batch_id, "n_events": 0,
@@ -100,11 +118,18 @@ class CdcPipeline:
                           for r in part_rows]
 
             upserts = latest.filter(F.col("op") != "D")
-            # spread extraction by file key: a hot repo fans out; the
-            # blob is the unit of work so path-level hashing is the salt
+            # extraction input is already hash-distributed by
+            # (repo, path): the latest-wins window shuffled on exactly
+            # that key, so a hot repo fans out with NO extra shuffle of
+            # the blob contents. Only re-shuffle if the caller forces a
+            # different partition count.
             blobs = upserts.select("repo", "path", "commit", "lang",
-                                   "content", "offset") \
-                .repartition(self.n_partitions, "repo", "path")
+                                   "content", "offset")
+            shuffle_parts = int(self.spark.conf.get(
+                "spark.sql.shuffle.partitions"))
+            if self.force_repartition and self.n_partitions != shuffle_parts:
+                blobs = blobs.repartition(self.n_partitions,
+                                          "repo", "path")
             rows = with_content_sha(extract_files(blobs))
 
             # lineage columns come from the driving event
@@ -112,39 +137,61 @@ class CdcPipeline:
                                      F.col("offset").alias("src_offset"))
             rows = rows.join(F.broadcast(ev_meta), ["repo", "path"]) \
                 .withColumn("batch_id", F.lit(batch_id))
-            rows.cache()
 
-            # one action for all row-level stats
-            stat = rows.agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(F.col("error").isNotNull(), 1)
-                      .otherwise(0)).alias("n_error_rows"),
-                F.max(F.size("cells")).alias("max_cols")).collect()[0]
-            n_rows = stat["n_rows"]
-            n_error_rows = int(stat["n_error_rows"] or 0)
-            max_cols = int(stat["max_cols"] or 0)
-
+            # ONE heavy job: extraction fused straight into the MoR
+            # merge write (map-side extract -> bucket shuffle -> write)
             txn = self.lake.begin()
             all_keys = latest.select("repo", "path")
             stats = txn.merge_replace_keys(RESULTS_TABLE, rows, all_keys,
                                            MERGE_KEY, self.n_buckets,
                                            touched=touched)
-            if self.wide_view:
+            _mark("merge results (extraction fused)")
+
+            # row stats from the freshly written files: count comes from
+            # parquet footers, the rest is a 2-column scan of new files
+            written = self.spark.read.parquet(*stats["files"]) \
+                if stats["files"] else None
+            if written is not None and self.wide_view:
+                stat = written.agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.when(F.col("error").isNotNull(), 1)
+                          .otherwise(0)).alias("n_error_rows"),
+                    F.max(F.size("cells")).alias("max_cols")).collect()[0]
+                n_rows = stat["n_rows"]
+                n_error_rows = int(stat["n_error_rows"] or 0)
+                max_cols = int(stat["max_cols"] or 0)
+            elif written is not None:
+                # no wide view -> only footer-resolvable stats needed
+                # (count + error count come from metadata/1-column scan)
+                stat = written.agg(
+                    F.count("*").alias("n_rows"),
+                    F.count("error").alias("n_error_rows")).collect()[0]
+                n_rows = stat["n_rows"]
+                n_error_rows = int(stat["n_error_rows"] or 0)
+                max_cols = 0
+            else:
+                n_rows = n_error_rows = max_cols = 0
+            _mark("row stats (from written files)")
+
+            if self.wide_view and written is not None:
                 txn.merge_replace_keys(WIDE_TABLE,
-                                       _wide_view(rows, max_cols),
+                                       _wide_view(written, max_cols),
                                        all_keys, MERGE_KEY,
                                        self.n_buckets, touched=touched)
+                _mark("merge wide view")
 
-            metrics = self.spark.createDataFrame(
-                [(batch_id, lo, hi, n_events, n_rows, n_error_rows,
-                  len(stats["buckets"]))],
-                "batch_id int, lo bigint, hi bigint, n_events bigint, "
-                "n_rows bigint, n_error_rows bigint, n_buckets int")
-            txn.append(METRICS_TABLE, metrics)
+            # per-batch ingest metrics buffer — flushed to the metrics
+            # table in one write by flush_metrics() (replay calls it);
+            # the lineage entry below carries the same facts durably in
+            # the SAME commit as the data, so a crash loses no metrics
+            self._pending_metrics.append(
+                (batch_id, lo, hi, n_events, n_rows, n_error_rows,
+                 len(stats["buckets"])))
 
             txn.set_checkpoint(
                 {"global": hi},
                 {"batch_id": batch_id, "lo": lo, "hi": hi,
+                 "n_rows": n_rows, "n_error_rows": n_error_rows,
                  "partitions": part_stats,
                  "buckets": stats["buckets"]})
             txn.commit()
@@ -153,16 +200,32 @@ class CdcPipeline:
                     "committed": True, "lo": lo, "hi": hi}
         finally:
             latest.unpersist()
-            if rows is not None:
-                rows.unpersist()
+
+    def flush_metrics(self) -> None:
+        """Write buffered per-batch ingest metrics in one commit."""
+        if not self._pending_metrics:
+            return
+        metrics = self.spark.createDataFrame(
+            self._pending_metrics,
+            "batch_id int, lo bigint, hi bigint, n_events bigint, "
+            "n_rows bigint, n_error_rows bigint, n_buckets int")
+        txn = self.lake.begin()
+        txn.append(METRICS_TABLE, metrics)
+        txn.commit()
+        self._pending_metrics = []
 
     # -- the replay loop -------------------------------------------------------
 
     def replay(self, events: DataFrame, batch_size: int | None = None,
-               max_batches: int | None = None) -> list[dict]:
+               max_batches: int | None = None,
+               compact_after_markers: int = 256) -> list[dict]:
         """Tail the log from the committed checkpoint to its high
         watermark in offset-bounded batches. Restart-safe: the checkpoint
-        is read from the last committed manifest."""
+        is read from the last committed manifest.
+
+        ``compact_after_markers``: when a table accumulates more than
+        this many MoR marker files, fold them into the data files after
+        the replay loop (maintenance off the ingest critical path)."""
         hwm_row = events.agg(F.max("offset").alias("h")).collect()[0]
         hwm = hwm_row["h"] or 0
         results = []
@@ -175,7 +238,10 @@ class CdcPipeline:
                 break
             hi = hwm if batch_size is None else min(ckpt + batch_size, hwm)
             batch_id = len(self.lake.lineage()) + 1
+            import time as _time
+            t0 = _time.perf_counter()
             res = self.apply_batch(events, ckpt, hi, batch_id)
+            res["seconds"] = _time.perf_counter() - t0
             if not res.get("committed"):
                 # nothing tabular in range: still advance the checkpoint
                 # so replay terminates (offset watermark only)
@@ -187,7 +253,66 @@ class CdcPipeline:
                 txn.commit()
             results.append(res)
             n += 1
+        self.flush_metrics()
+        if compact_after_markers is not None:
+            m = self.lake.manifest()
+            for tname in (RESULTS_TABLE, WIDE_TABLE):
+                t = m["tables"].get(tname)
+                if t and sum(len(fs) for fs in
+                             t.get("markers", {}).values()) \
+                        > compact_after_markers:
+                    txn = self.lake.begin()
+                    txn.compact(tname)
+                    txn.commit()
+                    m = self.lake.manifest()
         return results
+
+    def compact(self) -> None:
+        """Maintenance: fold MoR markers into data files for all result
+        tables (one atomic commit). Run off the ingest critical path."""
+        txn = self.lake.begin()
+        txn.compact(RESULTS_TABLE)
+        if self.wide_view and WIDE_TABLE in txn.tables:
+            txn.compact(WIDE_TABLE)
+        txn.commit()
+
+    # -- Structured Streaming adapter -------------------------------------------
+
+    def run_streaming(self, events_dir: str, schema,
+                      checkpoint_dir: str,
+                      max_files_per_trigger: int = 1) -> None:
+        """The same engine under Structured Streaming: a file-source
+        stream of event parquet files, applied via foreachBatch. The
+        lake's own offset checkpoint (not only Spark's) guards each
+        batch, so retries/redelivery stay exactly-once; the replay loop
+        and this path produce identical table states.
+        """
+        def _sink(df: DataFrame, _spark_batch_id: int) -> None:
+            ckpt = int(self.lake.checkpoint().get("global", 0))
+            fresh = (df.filter(F.col("offset") > ckpt)
+                     .filter(F.col("path").rlike(TABULAR_SUFFIX_RE)))
+            hi_row = df.agg(F.max("offset").alias("h")).collect()[0]
+            hi = hi_row["h"]
+            if hi is None or hi <= ckpt:
+                return
+            batch_id = len(self.lake.lineage()) + 1
+            res = self._apply(fresh, ckpt, int(hi), batch_id)
+            if not res.get("committed"):
+                txn = self.lake.begin()
+                txn.set_checkpoint({"global": int(hi)},
+                                   {"batch_id": batch_id, "lo": ckpt,
+                                    "hi": int(hi), "partitions": [],
+                                    "buckets": []})
+                txn.commit()
+
+        stream = (self.spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(events_dir))
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
 
     # -- reads ------------------------------------------------------------------
 

@@ -38,11 +38,20 @@ _REL_HYPERLINK = ("http://schemas.openxmlformats.org/officeDocument/2006/"
                   "relationships/hyperlink")
 
 
+_LOCAL_CACHE: dict = {}
+
+
 def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
+    r = _LOCAL_CACHE.get(tag)
+    if r is None:
+        r = tag.rsplit("}", 1)[-1]
+        _LOCAL_CACHE[tag] = r
+    return r
 
 
 def _int(s: str, default: int = 0) -> int:
+    if not s:
+        return default
     try:
         return int(s, 10)
     except (ValueError, TypeError):
@@ -206,23 +215,21 @@ class _Workbook:
                         linkmap[el.get("Id", "")] = el.get("Target", "")
 
         max_col = max_row = 0
+        # end-events only: <dimension/> is an empty element, so its end
+        # event fires immediately; halves the pull-parser event traffic
         with self.open_member(docname) as f:
-            for ev, el in _iter_xml(f):
+            for ev, el in _iter_xml(f, events=("end",)):
                 tag = _local(el.tag)
-                if ev == "start":
-                    if tag == "dimension":
-                        ref = el.get("ref", "")
-                        if ref == "A1":
-                            max_col, max_row = 1, 1
-                            ws.resize(1, 1)  # empty-sheet short circuit
-                            continue
-                        dims = ref.split(":")
-                        max_col, max_row = ref_to_indexes(dims[-1])
-                        ws.resize(max_row, max_col)
-                    continue
-
-                # end events
-                if tag == "c":
+                if tag == "dimension":
+                    ref = el.get("ref", "")
+                    if ref == "A1":
+                        max_col, max_row = 1, 1
+                        ws.resize(1, 1)  # empty-sheet short circuit
+                        continue
+                    dims = ref.split(":")
+                    max_col, max_row = ref_to_indexes(dims[-1])
+                    ws.resize(max_row, max_col)
+                elif tag == "c":
                     self._handle_cell(ws, el)
                     el.clear()
                 elif tag == "row":
@@ -243,16 +250,16 @@ class _Workbook:
         return ws
 
     def _handle_cell(self, ws: Sheet, el) -> None:
-        ref = el.get("r", "")
-        ctype = el.get("t", "")
-        if ctype == "":
-            ctype = "n"
-        sid = _int(el.get("s", ""))
-        fno = self.xfs[sid] if sid < len(self.xfs) else 0
-
+        # value chunks first: style-only cells exit before attr work
         chunks = [t for t in el.itertext() if t is not None]
         if not chunks:
             return
+        get = el.get
+        ref = get("r", "")
+        ctype = get("t", "") or "n"
+        sid = _int(get("s", ""))
+        fno = self.xfs[sid] if sid < len(self.xfs) else 0
+
         col, row = ref_to_indexes(ref)
         if col < 0 or row < 0:
             return

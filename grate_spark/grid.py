@@ -121,10 +121,15 @@ class Sheet:
             ct = cell.ctype
             types[i] = C.type_name(ct)
             fno = cell.fmtno
-            formats[i] = BUILTIN_FORMATS.get(fno, str(fno))
+            if fno:
+                formats[i] = BUILTIN_FORMATS.get(fno, str(fno))
             if ct == C.BLANK:
                 strs[i] = ""
             elif ct == C.STATIC:
+                strs[i] = cell.value
+            elif fno == 0 and ct == C.STRING:
+                # General-format string renders as itself — the hottest
+                # cell kind; skip the formatter dispatch
                 strs[i] = cell.value
             else:
                 fs, ok = fmtr.apply(fno, cell.value)

@@ -34,10 +34,20 @@ EXTRACT_SCHEMA = StructType([
     StructField("sheet_idx", IntegerType()),
     StructField("row_id", LongType()),
     StructField("cells", ArrayType(StringType())),
-    StructField("types", ArrayType(StringType())),
+    # compact per-cell type tags: one char per cell (see TYPE_CODES);
+    # a dense array<string> here triples row-conversion + storage cost
+    # for data that is one of 8 enum values
+    StructField("types", StringType()),
+    # NULL when every cell is General (the overwhelmingly common case)
     StructField("formats", ArrayType(StringType())),
     StructField("error", StringType()),
 ])
+
+# type-name -> tag char (grate.go:32-35 names); expand_types() inverts
+TYPE_CODES = {"blank": " ", "integer": "i", "float": "f", "string": "s",
+              "boolean": "b", "date": "d", "hyperlink": "h",
+              "static": "m"}
+TYPE_NAMES = {v: k for k, v in TYPE_CODES.items()}
 
 _OUT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
 
@@ -86,8 +96,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]
                     # xls List() excludes hidden sheets (xls/sheets.go:15-23)
                     continue
                 for rid, (cells, types, formats) in enumerate(table.rows):
+                    tstr = "".join(TYPE_CODES.get(t, "?") for t in types)
+                    fmts = formats if any(f != "General" for f in formats) \
+                        else None
                     buf.append((repo, path, commit, res.fmt, table.name,
-                                si, rid, cells, types, formats, None))
+                                si, rid, cells, tstr, fmts, None))
                     if len(buf) >= _CHUNK_ROWS:
                         yield flush()
     if buf:
@@ -109,3 +122,14 @@ def with_content_sha(df: DataFrame, col: str = "content_sha256") -> DataFrame:
     """sha256 over the tab-joined rendered cells — the per-row invariant
     (computed JVM-side; stays inside whole-stage codegen)."""
     return df.withColumn(col, F.sha2(F.concat_ws("\t", F.col("cells")), 256))
+
+
+def expand_types(df: DataFrame, out: str = "type_names") -> DataFrame:
+    """Decode the compact per-cell type string back to the reference's
+    type-name vector (Types(), grate.go:32-35) as array<string>."""
+    mapping = F.create_map(*[
+        x for ch, name in TYPE_NAMES.items()
+        for x in (F.lit(ch), F.lit(name))])
+    return df.withColumn(
+        out, F.transform(F.split(F.col("types"), ""),
+                         lambda c: F.element_at(mapping, c)))

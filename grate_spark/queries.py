@@ -353,6 +353,56 @@ ORDER BY source, row_id
 """
 
 
+def extract_typed_scan(spark, sf):
+    """grate2tsv-analog post-processing chain: extract -> sanitize cells
+    (I24, trims the padding injected below) -> drop blank rows (D5) ->
+    typed Scan projections (C5) -> aggregate. Oracle reproduces the same
+    stats straight from the documents table."""
+    from grate_spark.operators.extraction import extract_files
+    from grate_spark.operators.postprocess import (drop_blank_rows,
+                                                   sanitize_cells,
+                                                   typed_column)
+
+    docs = _t(spark, sf, "documents")
+    # pad the lang field with whitespace so sanitize_cells is observable
+    line = F.concat_ws(",", F.col("doc_id").cast("string"),
+                       F.concat(F.lit("  "), F.col("lang"), F.lit("\t")),
+                       F.col("n_chars").cast("string"))
+    blobs = (docs.select("source", "doc_id", line.alias("line"))
+             .groupBy("source")
+             .agg(F.array_join(
+                 F.transform(F.array_sort(F.collect_list(
+                     F.struct("doc_id", "line"))), lambda x: x["line"]),
+                 "\n").alias("body"))
+             .select(F.lit("bench").alias("repo"),
+                     F.concat(F.col("source"), F.lit(".tsv2.csv"))
+                     .alias("path"),
+                     F.lit("").alias("commit"),
+                     F.lit("csv").alias("lang"),
+                     F.concat(F.lit("doc_id,lang,n_chars\n"),
+                              F.col("body")).alias("content")))
+    rows = extract_files(blobs)
+    rows = drop_blank_rows(sanitize_cells(
+        rows.filter(F.col("error").isNull() & (F.col("row_id") >= 1))))
+    rows = typed_column(rows, 1, "int", out="doc_id")
+    rows = typed_column(rows, 2, "string", out="doc_lang")
+    rows = typed_column(rows, 3, "int", out="doc_chars")
+    return (rows.withColumn("source",
+                            F.regexp_replace("sheet", r"\.tsv2\.csv$", ""))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_chars").alias("sum_chars"),
+                 F.countDistinct("doc_lang").alias("n_langs"))
+            .orderBy("source"))
+
+
+EXTRACT_TYPED_SCAN_SQL = """
+SELECT source, count(*) AS n_rows, sum(n_chars) AS sum_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column -> byte-level features through the
 # Arrow UDF (decode kernels stubbed; plumbing oracle-checked end-to-end).
@@ -404,6 +454,8 @@ def _training_data_queries() -> dict:
                              text.DOC_FINGERPRINTS_SQL),
         "multimodal_features": (multimodal_features,
                                 MULTIMODAL_FEATURES_SQL),
+        "extract_typed_scan": (extract_typed_scan,
+                               EXTRACT_TYPED_SCAN_SQL),
     }
 
 

@@ -35,10 +35,10 @@ def get_spark(cpus: int | str | None = None,
     _ensure_pythonpath()
     cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # one-ish wave per stage at local scale; a real cluster sizes this
-        # to ~2-3x total cores (or relies on AQE coalescing from a higher
-        # initial value)
-        shuffle_partitions = max(int(cpus), 8)
+        # 3x cores: fine-grained tasks smooth per-file cost variance in
+        # the extraction stage (one straggler task no longer holds a
+        # whole wave); AQE still coalesces genuinely tiny partitions
+        shuffle_partitions = max(3 * int(cpus), 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
@@ -46,14 +46,32 @@ def get_spark(cpus: int | str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep post-shuffle partitions fine enough to occupy all cores
+        # (default 64MB advisory folds small-local-scale shuffles into
+        # fewer tasks than cores)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(16 * 1024 * 1024))
+        # MIN/MAX/COUNT over parquet resolve from footer statistics —
+        # makes the replay's high-watermark probe metadata-only
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # blob rows are ~100KB each (file contents): 256 rows ≈ 25MB per
+        # Arrow batch keeps the python workers' resident set and copy
+        # churn bounded (2048 would mean ~300MB batches per worker)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/spill scratch: the sandbox's virtio /tmp has erratic
+    # multi-second write latency under concurrency; use tmpfs when
+    # available (a real cluster puts this on node-local SSDs)
+    if os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/spark-local"
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

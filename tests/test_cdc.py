@@ -112,6 +112,66 @@ def test_lake_schema_evolution_on_merge(spark, tmp_path):
     assert rows["b"] == (2.5, "new")
 
 
+def test_lake_compaction_preserves_state(spark, tmp_path):
+    """compact() folds MoR markers into data files without changing the
+    visible table state, and clears all markers."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    txn = cat.begin()
+    base = spark.createDataFrame(
+        [("r", "p1", 0, "x"), ("r", "p2", 0, "z")],
+        "repo string, path string, row_id int, v string")
+    txn.merge_replace_keys("t", base, base.select("repo", "path"),
+                           ("repo", "path"), n_buckets=4)
+    txn.commit()
+    txn2 = cat.begin()
+    upd = spark.createDataFrame([("r", "p1", 0, "X")],
+                                "repo string, path string, row_id int, "
+                                "v string")
+    txn2.merge_replace_keys("t", upd, upd.select("repo", "path"),
+                            ("repo", "path"), n_buckets=4)
+    txn2.commit()
+    before = sorted((r["path"], r["v"]) for r in cat.read("t").collect())
+
+    txn3 = cat.begin()
+    txn3.compact("t")
+    txn3.commit()
+    after = sorted((r["path"], r["v"]) for r in cat.read("t").collect())
+    assert before == after == [("p1", "X"), ("p2", "z")]
+    assert cat.manifest()["tables"]["t"]["markers"] == {}
+
+
+def test_lake_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    """After compact, vacuum drops superseded files; the table still
+    reads identically."""
+    import glob
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([("r", "p", 0, "x")],
+                               "repo string, path string, row_id int, "
+                               "v string")
+    for i in range(3):  # three merges -> superseded generations
+        txn = cat.begin()
+        upd = spark.createDataFrame([("r", "p", 0, f"v{i}")],
+                                    "repo string, path string, "
+                                    "row_id int, v string")
+        txn.merge_replace_keys("t", upd, upd.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    txn = cat.begin()
+    txn.compact("t")
+    txn.commit()
+    before = cat.read("t").collect()
+    n_files_before = len(glob.glob(str(tmp_path / "lake/data/**/*.parquet"),
+                                   recursive=True))
+    stats = cat.vacuum(keep_manifests=1)
+    assert stats["files_removed"] > 0
+    n_files_after = len(glob.glob(str(tmp_path / "lake/data/**/*.parquet"),
+                                  recursive=True))
+    assert n_files_after < n_files_before
+    after = cat.read("t").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert after[0]["v"] == "v2"
+
+
 def test_lake_commit_conflict(spark, tmp_path):
     cat = LakeCatalog(spark, str(tmp_path / "lake"))
     df = spark.createDataFrame([(1,)], "id int")
@@ -305,6 +365,42 @@ def test_wide_view_schema_evolution_fixtures(fixture_replayed):
     row = wide.filter((F.col("path") == "basic2.tsv")
                       & (F.col("row_id") == 1)).collect()[0]
     assert row["c001"] == "1" and row["c007"] is None
+
+
+@needs_ref
+def test_streaming_foreachbatch_matches_batch_replay(spark, tmp_path):
+    """The Structured Streaming path (file-source + foreachBatch) and
+    the batch replay loop converge to the identical table state."""
+    events = fixture_events(spark)
+    # WAL-ordered delivery: one file per offset chunk, written in order
+    ev_dir = str(tmp_path / "events_stream")
+    os.makedirs(ev_dir)
+    collected = events.orderBy("offset").collect()
+    schema = events.schema
+    chunk = 8
+    for i in range(0, len(collected), chunk):
+        spark.createDataFrame(collected[i:i + chunk], schema) \
+            .coalesce(1).write.parquet(f"{ev_dir}/chunk={i:04d}")
+    # register chunks as one dir of parquet files (two-level glob)
+    import glob as _glob
+    files_dir = str(tmp_path / "flat")
+    os.makedirs(files_dir)
+    n = 0
+    for part in sorted(_glob.glob(f"{ev_dir}/chunk=*/part-*.parquet")):
+        os.link(part, os.path.join(files_dir, f"{n:04d}.parquet"))
+        n += 1
+
+    pipe_s = CdcPipeline(spark, str(tmp_path / "lake_s"), n_buckets=8,
+                         wide_view=False)
+    pipe_s.run_streaming(files_dir, schema,
+                         str(tmp_path / "spark_ckpt"),
+                         max_files_per_trigger=2)
+
+    pipe_b = CdcPipeline(spark, str(tmp_path / "lake_b"), n_buckets=8,
+                         wide_view=False)
+    pipe_b.replay(events)
+    assert state_fingerprint(pipe_s.results()) == \
+        state_fingerprint(pipe_b.results())
 
 
 # --------------------------------------------------------------------------
