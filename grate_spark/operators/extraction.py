@@ -61,6 +61,17 @@ def _extract_batches(batches: Iterator[pd.DataFrame]
     # imports inside the worker process
     from grate_spark.extract import ExtractError, NotInFormat, extract_blob
 
+    # extraction allocates millions of short-lived objects per batch;
+    # with default thresholds CPython's gen2 collector rescans the whole
+    # heap (pandas/pyarrow imports = ~200k live objects) every ~70k
+    # allocations. The decoder graph is cycle-free, so freeze the
+    # baseline heap and stretch the thresholds — 2-3x extraction
+    # throughput on long-running workers.
+    import gc
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(200000, 100, 100)
+
     buf: list[tuple] = []
 
     def flush():

@@ -101,10 +101,11 @@ def main() -> None:
     }
     print(json.dumps(out))
 
-    md = os.path.join(REPO, "BENCH.md")
+    md = os.path.join(REPO, "BENCH_SCALING.md")
     with open(md, "w") as f:
         f.write(
-            "# BENCH — CDC replay scaling study (N vs 4N)\n\n"
+            "# Latest end-to-end scaling study output (see BENCH.md "
+            "for analysis)\n\n"
             "Same job, same materialized event log, two parallelism "
             "levels\n(the sandbox protocol for the north rule's N->4N "
             "executor criterion).\n\n"
