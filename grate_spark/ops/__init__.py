@@ -31,9 +31,16 @@ def md5_bigint_sql(value_sql: str, seed: int | str) -> str:
             f"AS BIGINT)")
 
 
-def word_shingles_expr(text_col: str, n: int = 3) -> str:
-    """Spark SQL: word n-gram shingle array of a text column."""
-    toks = f"split({text_col}, ' ')"
+def word_shingles_expr(text_col: str, n: int = 3,
+                       from_tokens: bool = False) -> str:
+    """Spark SQL: word n-gram shingle array.
+
+    Pass ``from_tokens=True`` with a TOKENS-array column name when the
+    caller has already split the text — inlining ``split()`` into the
+    lambda would re-split the text once per token reference (O(words^2)
+    per document; measured 2x on the whole minhash pipeline).
+    """
+    toks = text_col if from_tokens else f"split({text_col}, ' ')"
     concat = "concat(" + ", ' ', ".join(f"{toks}[i+{j}]"
                                         for j in range(n)) + ")"
     # NB callers must filter size(tokens) >= n first: Spark's sequence()
@@ -42,9 +49,10 @@ def word_shingles_expr(text_col: str, n: int = 3) -> str:
             f"i -> {concat})")
 
 
-def word_shingles_sql(text_col: str, n: int = 3) -> str:
+def word_shingles_sql(text_col: str, n: int = 3,
+                      from_tokens: bool = False) -> str:
     """DuckDB SQL: the identical shingle array (1-based lists)."""
-    toks = f"str_split({text_col}, ' ')"
+    toks = text_col if from_tokens else f"str_split({text_col}, ' ')"
     concat = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
     return (f"list_transform(range(1, len({toks})-{n - 2}), "
             f"i -> {concat})")

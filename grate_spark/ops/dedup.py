@@ -27,15 +27,35 @@ SAMPLE_DOCS = 60  # signature-query output bound
 
 def _with_shingles(docs: DataFrame) -> DataFrame:
     return (docs
-            .filter(F.size(F.split("text", " ")) >= 3)
-            .withColumn("shingles", F.expr(word_shingles_expr("text", 3))))
+            .withColumn("toks", F.split("text", " "))
+            .filter(F.size("toks") >= 3)
+            .withColumn("shingles",
+                        F.expr(word_shingles_expr("toks", 3,
+                                                  from_tokens=True))))
+
+
+# hash family derived from ONE base md5 hash per shingle instead of
+# N_HASHES digest passes (8x less hashing; identical arithmetic in the
+# DuckDB oracle). h is split into 31/29-bit halves so a_j*lo + b_j*hi
+# stays far below 2^63 (ANSI-safe); the (a_j, b_j) pairs make the
+# family pairwise independent enough for LSH banding.
+_MH_A = [3, 5, 7, 11, 13, 17, 19, 23]
+_MH_B = [29, 31, 37, 41, 43, 47, 53, 59]
+_MH_MASK = (1 << 31) - 1
+
+
+def _mh_expr(j: int, h: str = "h") -> str:
+    return (f"{_MH_A[j]} * ({h} & {_MH_MASK}) "
+            f"+ {_MH_B[j]} * ({h} >> 31)")
 
 
 def _with_minhash(docs: DataFrame) -> DataFrame:
-    sig = [F.expr(f"array_min(transform(shingles, s -> "
-                  f"{md5_bigint_expr('s', j)}))").alias(f"mh{j}")
-           for j in range(N_HASHES)]
-    return _with_shingles(docs).select("doc_id", "lang", *sig)
+    base = f"transform(shingles, s -> {md5_bigint_expr('s', 0)})"
+    sig = [F.expr(f"array_min(transform(_h, h -> {_mh_expr(j)}))")
+           .alias(f"mh{j}") for j in range(N_HASHES)]
+    return (_with_shingles(docs)
+            .withColumn("_h", F.expr(base))
+            .select("doc_id", "lang", *sig))
 
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
@@ -48,14 +68,20 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     sig = ",\n       ".join(
-        f"list_min(list_transform({word_shingles_sql('text', 3)}, "
-        f"s -> {md5_bigint_sql('s', j)})) AS mh{j}"
+        f"list_min(list_transform(hashes, h -> {_mh_expr(j)})) AS mh{j}"
         for j in range(N_HASHES))
     return f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         list_transform({word_shingles_sql('text', 3)},
+                        s -> {md5_bigint_sql('s', 0)}) AS hashes
+  FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+)
 SELECT doc_id, lang,
        {sig}
-FROM documents
-WHERE len(str_split(text, ' ')) >= 3 AND doc_id < {SAMPLE_DOCS}
+FROM hashed
+WHERE doc_id < {SAMPLE_DOCS}
 ORDER BY doc_id
 """
 
@@ -63,9 +89,15 @@ ORDER BY doc_id
 MINHASH_SIGNATURES_SQL = _minhash_sig_sql()
 
 
+MAX_BUCKET = 20  # LSH stop-bucket cap: larger buckets are degenerate
+                 # (non-discriminative band values) and would go
+                 # quadratic; production dedup pipelines drop them
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket
-    (b=4 bands x r=2 rows over the 8-hash signature)."""
+    (b=4 bands x r=2 rows over the 8-hash signature), oversized
+    buckets dropped (MAX_BUCKET)."""
     mh = _with_minhash(table(spark, sf, "documents"))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -74,6 +106,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         for b in range(N_BANDS)])
     buckets = (mh.select("doc_id", F.explode(bands).alias("bk"))
                .select("doc_id", "bk.band", "bk.key"))
+    # materialization barrier: without it Catalyst inlines the whole
+    # minhash expression tree into every band struct and every join
+    # side (signatures recomputed ~12x); the exchange computes the tiny
+    # (doc_id, band, key) rows once and is reused by all three readers
+    buckets = buckets.repartition("band", "key")
+    small = (buckets.groupBy("band", "key")
+             .agg(F.count("*").alias("_n"))
+             .filter(F.col("_n") <= MAX_BUCKET)
+             .drop("_n"))
+    buckets = buckets.join(small, ["band", "key"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -87,19 +129,30 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _lsh_pairs_sql() -> str:
     sig_cols = ",\n         ".join(
-        f"list_min(list_transform({word_shingles_sql('text', 3)}, "
-        f"s -> {md5_bigint_sql('s', j)})) AS mh{j}"
+        f"list_min(list_transform(hashes, h -> {_mh_expr(j)})) AS mh{j}"
         for j in range(N_HASHES))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, mh{2 * b} || ':' || mh{2 * b + 1} "
         f"AS key FROM sigs"
         for b in range(N_BANDS))
     return f"""
-WITH sigs AS (
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({word_shingles_sql('text', 3)},
+                        s -> {md5_bigint_sql('s', 0)}) AS hashes
+  FROM documents WHERE len(str_split(text, ' ')) >= 3
+), sigs AS (
   SELECT doc_id,
          {sig_cols}
-  FROM documents WHERE len(str_split(text, ' ')) >= 3
-), buckets AS ({band_rows})
+  FROM hashed
+), buckets0 AS ({band_rows}),
+buckets AS (
+  SELECT b0.doc_id, b0.band, b0.key
+  FROM buckets0 b0
+  JOIN (SELECT band, key FROM buckets0
+        GROUP BY band, key HAVING count(*) <= {MAX_BUCKET}) s
+    USING (band, key)
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -159,10 +212,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     same n_chars — the cheap deterministic blocking step; LSH pairs would
     feed this at scale)."""
     docs = (table(spark, sf, "documents")
-            .filter(F.size(F.split("text", " ")) >= 2)
+            .withColumn("toks", F.split("text", " "))
+            .filter(F.size("toks") >= 2)
             .withColumn("grams",
                         F.array_distinct(
-                            F.expr(word_shingles_expr("text", 2))))
+                            F.expr(word_shingles_expr(
+                                "toks", 2, from_tokens=True))))
             .select("doc_id", "lang", "n_chars", "grams"))
     a = docs.alias("a")
     b = docs.alias("b")

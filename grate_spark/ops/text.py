@@ -167,9 +167,11 @@ def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     document's content fingerprint (winnowing's selection rule with one
     global window); identical-content docs collide exactly."""
     docs = (table(spark, sf, "documents")
-            .filter(F.size(F.split("text", " ")) >= 3)
+            .withColumn("toks", F.split("text", " "))
+            .filter(F.size("toks") >= 3)
             .withColumn("shingles",
-                        F.expr(word_shingles_expr("text", 3))))
+                        F.expr(word_shingles_expr("toks", 3,
+                                                  from_tokens=True))))
     fp = F.expr(f"array_min(transform(shingles, s -> "
                 f"{md5_bigint_expr('s', 'fp')}))")
     return (docs.select("doc_id", fp.alias("fingerprint"))
