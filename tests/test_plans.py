@@ -1,0 +1,131 @@
+"""Plan-quality gates: pushdown, pruning, broadcast, codegen.
+
+The physical plans that matter at 100 TB, asserted so regressions fail
+CI: filters must reach the parquet scan (PushedFilters), projections
+must prune columns (ReadSchema), small dims must broadcast, and the
+relational stages must stay inside WholeStageCodegen.
+"""
+
+import os
+import re
+
+import pytest
+
+SF = os.environ.get("GRATE_TEST_SF", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    from grate_spark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"][0](spark, SF)
+    plan = plan_of(df)
+    # shipdate predicate reaches the parquet scan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan), plan[:2000]
+    # map-side partial aggregation before the exchange
+    assert "HashAggregate" in plan
+    # codegen spans appear in the AQE-final executed plan
+    df.collect()
+    final = simple_plan(df)
+    assert "*(" in final, "no WholeStageCodegen spans in final plan"
+
+
+def test_q1_column_pruning(spark):
+    from grate_spark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"][0](spark, SF)
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # only the columns q1 touches are read from parquet
+    assert cols <= {"l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax",
+                    "l_shipdate"}, cols
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    from grate_spark.queries import QUERIES
+
+    df = QUERIES["q3_shipping_priority"][0](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    from grate_spark.queries import QUERIES
+
+    df = QUERIES["q5_region_revenue"][0](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_events_offset_range_pushdown(spark):
+    from grate_spark.queries import QUERIES
+
+    df = QUERIES["events_replay_batch"][0](spark, SF)
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters:.*GreaterThan\(event_id",
+                     plan), plan[:2000]
+
+
+def test_cdc_batch_scan_pushes_offset_bounds(spark, tmp_path):
+    """The replay's offset-bounded scan must prune at the parquet level
+    — this is what makes tailing a 10^10-event log incremental."""
+    from pyspark.sql import functions as F
+    from grate_spark.cdc.events import EVENT_COLS
+
+    ev_path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i, 0, "I", "r", f"f{i}.csv", "c", "csv", "x,y\n1,2")
+         for i in range(100)],
+        "offset bigint, partition int, op string, repo string, "
+        "path string, commit string, lang string, content string") \
+        .write.parquet(ev_path)
+    events = spark.read.parquet(ev_path)
+    batch = events.filter((F.col("offset") > 10)
+                          & (F.col("offset") <= 20))
+    plan = plan_of(batch)
+    assert re.search(r"PushedFilters:.*GreaterThan\(offset,10", plan)
+
+
+def test_extraction_stays_arrow_and_single_pass(spark):
+    """The extraction plan: scan -> (optional exchange) -> mapInPandas;
+    no Python row-at-a-time operators (BatchEvalPython) anywhere."""
+    from grate_spark.operators.extraction import extract_files
+    from grate_spark.cdc.events import doc_csv_blobs
+
+    rows = extract_files(doc_csv_blobs(spark, SF, version=1))
+    plan = simple_plan(rows)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no scalar python UDFs
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query plan may contain an unintended cartesian product
+    (cross joins only appear with an explicit broadcast side)."""
+    from grate_spark.queries import QUERIES
+
+    for name, (fn, _sql) in QUERIES.items():
+        plan = simple_plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dedup_reuses_signature_exchange(spark):
+    """The LSH self-join must reuse one computed signature exchange,
+    not recompute minhash per side."""
+    from grate_spark.ops.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(spark, SF)
+    df.collect()  # AQE finalizes exchange reuse at runtime
+    plan = simple_plan(df)
+    assert "ReusedExchange" in plan, \
+        "minhash signatures recomputed per join side"
