@@ -105,6 +105,61 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+NEARDUP_THRESHOLD = 0.85
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: IVF bucket assignment
+    prunes the candidate space (same-centroid pairs only), then exact
+    cosine filters at the threshold — the vector analog of LSH-then-
+    verify dedup. At scale the bucket is the shuffle key."""
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS) \
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("cv"))
+    assigned = (emb.crossJoin(F.broadcast(cents))
+                .withColumn("ccos", F.expr(_cos_expr("cv", "embedding"))))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                              "centroid_id")
+    assignment = (assigned.withColumn("r", F.row_number().over(wa))
+                  .filter(F.col("r") == 1)
+                  .select("vec_id", "embedding", "centroid_id"))
+    a = assignment.alias("a")
+    b = assignment.alias("b")
+    return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cos", F.expr(_cos_expr("a.embedding",
+                                                "b.embedding")))
+            .filter(F.col("cos") >= NEARDUP_THRESHOLD)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"), "cos")
+            .orderBy("vec_a", "vec_b"))
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      c.cv), 4) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+), assignment AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id) AS r
+    FROM assigned) WHERE r = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM assignment a JOIN assignment b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 ANN_IVF_TOPK_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -446,6 +446,8 @@ def _training_data_queries() -> dict:
                         similarity.COSINE_TOPK_SQL),
         "ann_ivf_topk": (similarity.ann_ivf_topk,
                          similarity.ANN_IVF_TOPK_SQL),
+        "embedding_neardup_pairs": (similarity.embedding_neardup_pairs,
+                                    similarity.EMBEDDING_NEARDUP_SQL),
         "langid_predictions": (text.langid_predictions,
                                text.LANGID_PREDICTIONS_SQL),
         "quality_scores": (text.quality_scores, text.QUALITY_SCORES_SQL),
