@@ -163,6 +163,68 @@ def synthetic_doc_events(spark: SparkSession, sf_dir: str,
         .repartition(n_partitions, "partition")
 
 
+def oracle_doc_events(spark: SparkSession, sf_dir: str,
+                      n_partitions: int = 4) -> DataFrame:
+    """Like synthetic_doc_events but every I/U/D selection uses the
+    cross-engine md5->bigint hash (ops.md5_bigint_expr), so a DuckDB
+    oracle can reproduce the exact expected final state:
+
+    - v1 content: docs with md5h(doc_id) % 2 == 0, columns (doc_id,
+      lang, n_chars)
+    - UPDATE to v2 (all docs + quality column) where md5h(path) % 3 == 0
+    - DELETE where md5h(path) % 10 == 7 (v1 paths only)
+    """
+    from ..ops import md5_bigint_expr
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dhash = F.expr(md5_bigint_expr("cast(doc_id as string)", "ev"))
+
+    def blobs(version: int) -> DataFrame:
+        d = docs
+        if version == 1:
+            d = d.withColumn("_h", dhash).filter(F.col("_h") % 2 == 0)
+            line = F.concat_ws(",", F.col("doc_id").cast("string"),
+                               F.col("lang"),
+                               F.col("n_chars").cast("string"))
+            header = "doc_id,lang,n_chars"
+        else:
+            line = F.concat_ws(",", F.col("doc_id").cast("string"),
+                               F.col("lang"),
+                               F.col("n_chars").cast("string"),
+                               (F.col("n_chars") % 7).cast("string"))
+            header = "doc_id,lang,n_chars,quality"
+        body = (d.select("source", "doc_id", line.alias("line"))
+                .groupBy("source")
+                .agg(F.array_join(
+                    F.transform(F.array_sort(F.collect_list(
+                        F.struct("doc_id", "line"))),
+                        lambda x: x["line"]), "\n").alias("body")))
+        return body.select(
+            F.lit("oracle-repo").alias("repo"),
+            F.concat(F.col("source"), F.lit(".csv")).alias("path"),
+            F.lit(f"v{version}").alias("commit"),
+            F.lit("csv").alias("lang"),
+            F.concat(F.lit(header + "\n"), F.col("body"))
+            .alias("content"))
+
+    phash = F.expr(md5_bigint_expr("path", "ev"))
+    v1 = blobs(1).withColumn("op", F.lit("I")).withColumn("phase",
+                                                          F.lit(1))
+    v2 = blobs(2).withColumn("_p", phash).filter(F.col("_p") % 3 == 0) \
+        .drop("_p").withColumn("op", F.lit("U")) \
+        .withColumn("phase", F.lit(2))
+    dels = v1.select("repo", "path") \
+        .withColumn("_p", phash).filter(F.col("_p") % 10 == 7) \
+        .drop("_p") \
+        .withColumn("commit", F.lit("del")) \
+        .withColumn("lang", F.lit("csv")) \
+        .withColumn("content", F.lit(None).cast("string")) \
+        .withColumn("op", F.lit("D")).withColumn("phase", F.lit(3))
+    all_ev = v1.unionByName(v2).unionByName(dels)
+    return _with_offsets(all_ev, n_partitions,
+                         [F.col("phase"), F.col("path")])
+
+
 def expected_final_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blob set the synthetic replay must converge to (for oracles):
     v2 content where updated, else v1, minus deletes."""

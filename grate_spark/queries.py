@@ -403,6 +403,71 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def cdc_replay_state(spark, sf):
+    """End-to-end CDC gate: build a deterministic I/U/D event log over
+    per-source CSV blobs, replay it through the full engine (offset
+    batches -> latest-wins -> extraction UDTF -> MoR MERGE commits ->
+    deletes), and return the FINAL table state row-by-row. The oracle
+    reconstructs the same state directly from the documents table using
+    the identical md5-hash I/U/D selection — every merge/delete/replace
+    semantic must line up exactly for the hashes to match."""
+    import tempfile
+
+    from grate_spark.cdc.events import oracle_doc_events
+    from grate_spark.cdc.pipeline import CdcPipeline
+
+    events = oracle_doc_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="grate-cdc-oracle-")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    n = events.count()
+    pipe.replay(events, batch_size=max(4, (n + 2) // 3))
+
+    res = pipe.results().filter(F.col("error").isNull()
+                                & (F.col("row_id") >= 1))
+    return (res.select(
+        F.regexp_replace("path", r"\.csv$", "").alias("source"),
+        "row_id",
+        F.try_element_at("cells", F.lit(1)).cast("long").alias("doc_id"),
+        F.try_element_at("cells", F.lit(2)).alias("lang"),
+        F.try_element_at("cells", F.lit(3)).cast("long")
+        .alias("n_chars"),
+        F.try_element_at("cells", F.lit(4)).cast("long")
+        .alias("quality"))
+        .orderBy("source", "row_id"))
+
+
+def _cdc_replay_state_sql() -> str:
+    from grate_spark.ops import md5_bigint_sql
+
+    dh = md5_bigint_sql("CAST(doc_id AS VARCHAR)", "ev")
+    ph = md5_bigint_sql("source || '.csv'", "ev")
+    return f"""
+WITH flags AS (
+  SELECT source,
+         ({ph}) % 3 = 0 AS updated,
+         ({ph}) % 10 = 7 AS del_candidate,
+         -- a path exists at v1 iff the source has any md5-even doc
+         bool_or(({dh}) % 2 = 0) AS in_v1
+  FROM documents GROUP BY source
+), final_docs AS (
+  SELECT d.source, d.doc_id, d.lang, d.n_chars,
+         CASE WHEN f.updated THEN d.n_chars % 7 END AS quality
+  FROM documents d JOIN flags f USING (source)
+  WHERE (f.updated OR ({dh}) % 2 = 0)
+    AND NOT (f.del_candidate AND f.in_v1)      -- deleted paths
+    AND (f.updated OR f.in_v1)                 -- never inserted at all
+)
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS row_id,
+       doc_id, lang, n_chars, quality
+FROM final_docs
+ORDER BY source, row_id
+"""
+
+
+CDC_REPLAY_STATE_SQL = _cdc_replay_state_sql()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column -> byte-level features through the
 # Arrow UDF (decode kernels stubbed; plumbing oracle-checked end-to-end).
@@ -458,6 +523,7 @@ def _training_data_queries() -> dict:
                                 MULTIMODAL_FEATURES_SQL),
         "extract_typed_scan": (extract_typed_scan,
                                EXTRACT_TYPED_SCAN_SQL),
+        "cdc_replay_state": (cdc_replay_state, CDC_REPLAY_STATE_SQL),
     }
 
 
