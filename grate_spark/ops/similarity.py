@@ -106,6 +106,9 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 NEARDUP_THRESHOLD = 0.85
+# IVF nlist scales with collection size: 32 centroids keep bucket-pair
+# counts (the quadratic verify step) bounded at the bench scales
+NEARDUP_CENTROIDS = 32
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -114,7 +117,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     cosine filters at the threshold — the vector analog of LSH-then-
     verify dedup. At scale the bucket is the shuffle key."""
     emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS) \
+    cents = emb.filter(F.col("vec_id") < NEARDUP_CENTROIDS) \
         .select(F.col("vec_id").alias("centroid_id"),
                 F.col("embedding").alias("cv"))
     assigned = (emb.crossJoin(F.broadcast(cents))
@@ -124,6 +127,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     assignment = (assigned.withColumn("r", F.row_number().over(wa))
                   .filter(F.col("r") == 1)
                   .select("vec_id", "embedding", "centroid_id"))
+    # materialization barrier: the self-join's two sides reuse ONE
+    # computed assignment exchange instead of recomputing the
+    # centroid-assignment cross join per side
+    assignment = assignment.repartition("centroid_id")
     a = assignment.alias("a")
     b = assignment.alias("b")
     return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -139,7 +146,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 EMBEDDING_NEARDUP_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+  FROM embeddings WHERE vec_id < {NEARDUP_CENTROIDS}
 ), assigned AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
