@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -221,12 +222,21 @@ class LakeCatalog:
     def begin(self) -> "Transaction":
         return Transaction(self)
 
-    def vacuum(self, keep_manifests: int = 10) -> dict:
+    def vacuum(self, keep_manifests: int = 10,
+               min_age_seconds: float = 3600.0) -> dict:
         """Delete data/marker files not referenced by the CURRENT
         manifest, and manifests older than the last ``keep_manifests``.
         The GC companion of compact() — superseded files accumulate
         under copy-on-write/MoR until removed. [Iceberg:
         expire_snapshots + remove_orphan_files]
+
+        ``min_age_seconds`` protects files staged by an IN-FLIGHT
+        Transaction that has not committed yet: such files are not in
+        the current manifest, but deleting them would let the
+        transaction publish a manifest referencing missing files.
+        Only unreferenced files older than the threshold are removed —
+        pass 0 only when no concurrent writers exist. [Iceberg:
+        remove_orphan_files older_than]
 
         Safe because readers always resolve the newest manifest; only
         run when no reader needs time travel past ``keep_manifests``.
@@ -240,6 +250,7 @@ class LakeCatalog:
                 live.update(e["path"] for e in fs)
 
         removed = 0
+        cutoff = time.time() - min_age_seconds
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root,
                                                      topdown=False):
@@ -256,7 +267,7 @@ class LakeCatalog:
                 else:
                     # _SUCCESS markers etc: manifest is the authority
                     keep = False
-                if not keep:
+                if not keep and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     removed += 1
             if not os.listdir(dirpath):

@@ -107,7 +107,9 @@ def extract_blob(path: str, content, lang: Optional[str] = None
         return simple.open_csv(name, text)
 
 
-TABULAR_SUFFIX_RE = r"\.(xlsx?|[ct]sv)$"
+# (?i): case-insensitive so FOO.XLSX matches, keeping the CDC path
+# filter consistent with is_tabular_path's lowercasing
+TABULAR_SUFFIX_RE = r"(?i)\.(xlsx?|[ct]sv)$"
 
 
 def is_tabular_path(path: str) -> bool:

@@ -178,9 +178,14 @@ class Document:
         remaining = size
         while sid != SEC_END_OF_CHAIN and sid != SEC_FREE:
             offs = (1 + sid) << self.sector_shift
-            if offs > len(self.data):
+            if offs >= len(self.data):
+                # offs == len(data) would yield an empty slice that never
+                # decrements `remaining`; with a FAT self-loop at that
+                # sector the walk would spin forever
                 raise ExtractError("cfb: corrupt data format")
             sl = self.data[offs:offs + sec_size]
+            if not sl and remaining > 0:
+                raise ExtractError("cfb: corrupt data format")
             if remaining < len(sl):
                 sl = sl[:remaining]
                 remaining = 0
@@ -205,7 +210,11 @@ class Document:
         remaining = size
         while sid != SEC_END_OF_CHAIN and sid != SEC_FREE:
             offs = sid << self.mini_shift
+            if offs >= len(ministream):
+                raise ExtractError("cfb: corrupt mini-stream chain")
             sl = ministream[offs:offs + mini_size]
+            if not sl and remaining > 0:
+                raise ExtractError("cfb: corrupt mini-stream chain")
             if remaining < len(sl):
                 sl = sl[:remaining]
                 remaining = 0
@@ -217,6 +226,8 @@ class Document:
             if sid >= len(self.minifat):
                 raise ExtractError("cfb: corrupt miniFAT chain")
             sid = int(self.minifat[sid])
+        if remaining != 0:
+            raise ExtractError("cfb: incomplete read")
         return b"".join(parts)
 
     def list_streams(self) -> list[str]:

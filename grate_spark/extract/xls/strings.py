@@ -85,9 +85,12 @@ def parse_sst(rec_datas: list[bytes]) -> list[str]:
                         "utf-16-le", errors="replace"))
                     buf = buf[2 * take:]
                     remaining -= take
-                    if take > 0 and len(buf) == 1:
+                    if len(buf) == 1:
                         # reference errors whenever a 16-bit read leaves
-                        # exactly one byte behind (xls/strings.go:206-208)
+                        # exactly one byte behind (xls/strings.go:206-208);
+                        # must fire even when take == 0 (a 1-byte record
+                        # remainder), else this loop never progresses and
+                        # a corrupt SST hangs the Spark task forever
                         raise ExtractError("xls: off by one")
                 else:  # 8-bit compressed
                     take = min(len(buf), remaining)

@@ -72,8 +72,13 @@ def rk_number(rk: int):
     val = sval >> 2  # arithmetic shift
     if rk & 2:  # integer payload
         if rk & 1:
-            # /100 with Go truncation toward zero
-            return -((-val) // 100) if val < 0 else val // 100
+            # fInt + fX100: Excel semantics are val/100 as a decimal.
+            # DELIBERATE DIVERGENCE from the reference, whose
+            # IsInteger() excludes bit0 so Float64()'s fall-through
+            # yields 0.0 for this encoding (xls/structs.go:64-107) —
+            # a reference bug that would silently zero two-decimal
+            # currency cells. We return the Excel-correct value.
+            return val / 100.0
         return val
     # float payload: sign-extended val << 34 as IEEE754 bits
     bits = ((val & 0xFFFFFFFFFFFFFFFF) << 34) & 0xFFFFFFFFFFFFFFFF

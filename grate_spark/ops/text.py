@@ -155,9 +155,9 @@ def token_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 TOKEN_COUNTS_SQL = """
 SELECT source, count(*) AS n_docs,
-       sum(len(str_split(text, ' '))) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text,
-           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS total_bpe_pieces
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_bpe_pieces
 FROM documents GROUP BY source ORDER BY source
 """
 

@@ -269,7 +269,7 @@ def docs_token_stats(spark, sf):
 
 DOCS_TOKEN_STATS_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(str_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -397,7 +397,7 @@ def extract_typed_scan(spark, sf):
 
 
 EXTRACT_TYPED_SCAN_SQL = """
-SELECT source, count(*) AS n_rows, sum(n_chars) AS sum_chars,
+SELECT source, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        count(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source ORDER BY source
 """

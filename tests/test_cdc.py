@@ -162,7 +162,7 @@ def test_lake_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     before = cat.read("t").collect()
     n_files_before = len(glob.glob(str(tmp_path / "lake/data/**/*.parquet"),
                                    recursive=True))
-    stats = cat.vacuum(keep_manifests=1)
+    stats = cat.vacuum(keep_manifests=1, min_age_seconds=0.0)
     assert stats["files_removed"] > 0
     n_files_after = len(glob.glob(str(tmp_path / "lake/data/**/*.parquet"),
                                   recursive=True))
@@ -170,6 +170,40 @@ def test_lake_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     after = cat.read("t").collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
     assert after[0]["v"] == "v2"
+
+
+def test_tabular_suffix_regex_case_insensitive(spark):
+    """CDC path filter must accept FOO.XLSX like is_tabular_path does —
+    a case-sensitive regex silently dropped uppercase-extension events
+    from ingest while the non-CDC path accepted them."""
+    from grate_spark.extract import TABULAR_SUFFIX_RE, is_tabular_path
+    from pyspark.sql import functions as F
+    paths = ["a/B.XLSX", "a/b.Xls", "c.CSV", "d.TsV",
+             "e.xlsx", "readme.MD", "f.csv.bak"]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    kept = {r["path"] for r in
+            df.filter(F.col("path").rlike(TABULAR_SUFFIX_RE)).collect()}
+    assert kept == {p for p in paths if is_tabular_path(p)}
+    assert "a/B.XLSX" in kept
+
+
+def test_lake_vacuum_spares_inflight_txn_staging(spark, tmp_path):
+    """vacuum must not delete files staged by a not-yet-committed
+    Transaction: that txn would otherwise publish a manifest pointing
+    at deleted files, corrupting the table."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1,)], "id int")
+    txn0 = cat.begin()
+    txn0.append("t", df)
+    txn0.commit()
+    # stage a second append but don't commit yet
+    txn = cat.begin()
+    txn.append("t", spark.createDataFrame([(2,)], "id int"))
+    # default age threshold: freshly staged files survive the sweep
+    cat.vacuum(keep_manifests=1)
+    txn.commit()
+    got = sorted(r["id"] for r in cat.read("t").collect())
+    assert got == [1, 2]
 
 
 def test_lake_commit_conflict(spark, tmp_path):

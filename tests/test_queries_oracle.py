@@ -5,6 +5,7 @@ order-insensitive values) so mismatches surface locally first.
 """
 
 import datetime as dt
+import decimal
 import math
 
 import pytest
@@ -15,10 +16,18 @@ from tests.conftest import SF_DIR
 def _norm(v):
     if v is None:
         return None
+    # Tag floats so int vs float mismatches fail here like they fail the
+    # driver's raw-value hash (1435 == 1435.0 in Python, but hashes differ).
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return ("f", round(v, 6))
+    if isinstance(v, decimal.Decimal):
+        return ("f", round(float(v), 6))
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if hasattr(v, "to_pydatetime"):  # pandas Timestamp

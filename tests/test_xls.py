@@ -49,9 +49,14 @@ def test_rk_integer():
     assert rk_number(_rk_from_int(0)) == 0
 
 
-def test_rk_integer_div100_truncates_toward_zero():
-    assert rk_number(_rk_from_int(250, div100=True)) == 2
-    assert rk_number(_rk_from_int(-250, div100=True)) == -2  # Go trunc
+def test_rk_integer_div100_is_decimal():
+    # fInt + fX100 -> Excel semantics val/100 as float. Deliberate
+    # divergence from the reference, whose Float64() fall-through
+    # returns 0.0 for this encoding (xls/structs.go:64-107).
+    assert rk_number(_rk_from_int(250, div100=True)) == 2.5
+    assert rk_number(_rk_from_int(-250, div100=True)) == -2.5
+    assert rk_number(_rk_from_int(200, div100=True)) == 2.0
+    assert isinstance(rk_number(_rk_from_int(200, div100=True)), float)
 
 
 def test_rk_float():
@@ -104,6 +109,27 @@ def test_sst_rich_runs_skipped_across_boundary():
         + b"\x00" * 5
     cont = b"\x00" * 3 + _xl_str("cd", False)
     assert parse_sst([head, cont]) == ["ab", "cd"]
+
+
+def test_sst_one_byte_16bit_remainder_errors_not_hangs():
+    # a 16-bit string continuing into a record with exactly 1 usable
+    # byte must fail fast ("off by one", xls/strings.go:206-208) —
+    # before the fix the avail==0/take==0 loop spun forever, hanging
+    # the Spark task on a corrupt blob
+    from grate_spark.extract import ExtractError
+    head = _sst_header(1) + struct.pack("<HB", 4, 1) + "ab".encode(
+        "utf-16-le")
+    cont = b"\x01" + b"B"  # 16-bit continue, single payload byte
+    with pytest.raises(ExtractError, match="off by one"):
+        parse_sst([head, cont])
+
+
+def test_sst_truncated_stream_raises_not_hangs():
+    # string claims 10 chars but the records end: IndexError/ExtractError
+    # is fine, an infinite loop is not
+    head = _sst_header(1) + struct.pack("<HB", 10, 0) + b"abc"
+    with pytest.raises(Exception):
+        parse_sst([head])
 
 
 def test_sst_string_count_from_multi_fixture():

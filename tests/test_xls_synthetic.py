@@ -247,6 +247,29 @@ EXPECTED_FIRST_ROWS = [
 ]
 
 
+def test_cfb_fat_self_loop_at_eof_errors_not_hangs():
+    """A FAT chain pointing at the sector whose offset == len(data),
+    with a self-loop there, must raise (cfb.go bounds semantics) — the
+    old `offs > len` check admitted the empty slice and the walk never
+    progressed."""
+    import pytest
+    from grate_spark.extract import ExtractError
+    from grate_spark.extract.xls.cfb import Document
+
+    blob = bytearray(make_cfb(b"x" * 4096))
+    n = (len(blob) - 512 * 2) // SEC - 1  # content sectors (minus dir)
+    # FAT lives in sector 0 at byte offset 512; entry i at 512 + 4*i.
+    # Point the last stream sector's next -> first out-of-range sid,
+    # and make that sid a self-loop.
+    oob = len(blob) // SEC - 1  # sid with offs == len(data)
+    struct.pack_into("<I", blob, 512 + 4 * n, oob)
+    struct.pack_into("<I", blob, 512 + 4 * oob, oob)
+    doc = Document(bytes(blob))
+    # ask for more bytes than the truncated chain can deliver
+    with pytest.raises(ExtractError):
+        doc._read_chain(1, 4096 + SEC)
+
+
 def test_synthetic_cfb_roundtrip():
     blob = build_workbook()
     res = extract_blob("synth.xls", blob)
