@@ -207,10 +207,16 @@ ORDER BY doc_id
 SIMHASH_FINGERPRINTS_SQL = _simhash_sql()
 
 
+MAX_BLOCK = 50  # blocked-Jaccard cap: a popular (lang, n_chars) block
+                # would otherwise go quadratic with no bound — same
+                # stop-bucket treatment as LSH's MAX_BUCKET
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact word-2-gram Jaccard for blocked candidate pairs (same lang +
-    same n_chars — the cheap deterministic blocking step; LSH pairs would
-    feed this at scale)."""
+    same n_chars), oversized blocks dropped (MAX_BLOCK). This is the
+    cheap deterministic blocking variant; ``lsh_jaccard_neardups`` below
+    is the scale path (LSH candidates -> exact verify)."""
     docs = (table(spark, sf, "documents")
             .withColumn("toks", F.split("text", " "))
             .filter(F.size("toks") >= 2)
@@ -219,6 +225,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
                             F.expr(word_shingles_expr(
                                 "toks", 2, from_tokens=True))))
             .select("doc_id", "lang", "n_chars", "grams"))
+    small = (docs.groupBy("lang", "n_chars")
+             .agg(F.count("*").alias("_n"))
+             .filter(F.col("_n") <= MAX_BLOCK)
+             .drop("_n"))
+    docs = docs.join(small, ["lang", "n_chars"])
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -234,10 +245,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 NGRAM_JACCARD_PAIRS_SQL = f"""
-WITH g AS (
+WITH g0 AS (
   SELECT doc_id, lang, n_chars,
          list_distinct({word_shingles_sql('text', 2)}) AS grams
   FROM documents WHERE len(str_split(text, ' ')) >= 2
+), g AS (
+  SELECT g0.* FROM g0
+  JOIN (SELECT lang, n_chars FROM g0
+        GROUP BY lang, n_chars HAVING count(*) <= {MAX_BLOCK}) s
+    USING (lang, n_chars)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -245,5 +261,62 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
 FROM g a JOIN g b
   ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+NEARDUP_JACCARD_THRESHOLD = 0.4
+
+
+def lsh_jaccard_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH candidate pairs verified
+    by exact word-3-gram Jaccard at NEARDUP_JACCARD_THRESHOLD. The LSH
+    stage is banding+stop-buckets (never all-pairs); the verify stage
+    touches only candidate pairs, so the whole pipeline is linear in
+    candidates — this is the composition a 100 TB dedup run uses
+    (replaces the quadratic-on-skew (lang, n_chars) blocking)."""
+    cands = (minhash_lsh_pairs(spark, sf)
+             .select("doc_a", "doc_b"))
+    grams = (table(spark, sf, "documents")
+             .withColumn("toks", F.split("text", " "))
+             .filter(F.size("toks") >= 3)
+             .withColumn("grams",
+                         F.array_distinct(
+                             F.expr(word_shingles_expr(
+                                 "toks", 3, from_tokens=True))))
+             .select("doc_id", "grams"))
+    a = grams.select(F.col("doc_id").alias("doc_a"),
+                     F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"),
+                     F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("jaccard",
+                        F.round(inter.cast("double") / union, 4))
+            .filter(F.col("jaccard") >= NEARDUP_JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+LSH_JACCARD_NEARDUPS_SQL = f"""
+WITH cands AS ({MINHASH_LSH_PAIRS_SQL.replace("ORDER BY doc_a, doc_b",
+                                              "")}),
+g AS (
+  SELECT doc_id,
+         list_distinct({word_shingles_sql('text', 3)}) AS grams
+  FROM documents WHERE len(str_split(text, ' ')) >= 3
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM cands c
+JOIN g a ON a.doc_id = c.doc_a
+JOIN g b ON b.doc_id = c.doc_b
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))), 4)
+      >= {NEARDUP_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """

@@ -109,24 +109,32 @@ NEARDUP_THRESHOLD = 0.85
 # IVF nlist scales with collection size: 32 centroids keep bucket-pair
 # counts (the quadratic verify step) bounded at the bench scales
 NEARDUP_CENTROIDS = 32
+# deterministic seeded near-duplicates: the first SEED vectors get a
+# perturbed twin at vec_id + OFFSET so the ≥ threshold branch is
+# actually exercised by the gate (the raw synthetic table has no pairs
+# above 0.85 — a vacuously-green gate certifies nothing)
+NEARDUP_SEED_DUPS = 10
+NEARDUP_SEED_OFFSET = 1_000_000
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: IVF bucket assignment
-    prunes the candidate space (same-centroid pairs only), then exact
-    cosine filters at the threshold — the vector analog of LSH-then-
-    verify dedup. At scale the bucket is the shuffle key."""
-    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < NEARDUP_CENTROIDS) \
+def neardup_pairs(emb: DataFrame,
+                  threshold: float = NEARDUP_THRESHOLD,
+                  n_centroids: int = NEARDUP_CENTROIDS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over (vec_id, v) where
+    ``v`` is array<double>: IVF bucket assignment prunes the candidate
+    space (same-centroid pairs only), then exact cosine filters at the
+    threshold — the vector analog of LSH-then-verify dedup. At scale
+    the bucket is the shuffle key."""
+    cents = emb.filter(F.col("vec_id") < n_centroids) \
         .select(F.col("vec_id").alias("centroid_id"),
-                F.col("embedding").alias("cv"))
+                F.col("v").alias("cv"))
     assigned = (emb.crossJoin(F.broadcast(cents))
-                .withColumn("ccos", F.expr(_cos_expr("cv", "embedding"))))
+                .withColumn("ccos", F.expr(_cos_expr("cv", "v"))))
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
                                               "centroid_id")
     assignment = (assigned.withColumn("r", F.row_number().over(wa))
                   .filter(F.col("r") == 1)
-                  .select("vec_id", "embedding", "centroid_id"))
+                  .select("vec_id", "v", "centroid_id"))
     # materialization barrier: the self-join's two sides reuse ONE
     # computed assignment exchange instead of recomputing the
     # centroid-assignment cross join per side
@@ -135,23 +143,53 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     b = assignment.alias("b")
     return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .withColumn("cos", F.expr(_cos_expr("a.embedding",
-                                                "b.embedding")))
-            .filter(F.col("cos") >= NEARDUP_THRESHOLD)
+            .withColumn("cos", F.expr(_cos_expr("a.v", "b.v")))
+            .filter(F.col("cos") >= threshold)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"), "cos")
             .orderBy("vec_a", "vec_b"))
 
 
+# 0-based index perturbation, identical doubles on both engines:
+# x * (1 + 0.004 * ((i % 7) - 3)) — per-element relative error ≤1.2%,
+# cosine vs the original ≈0.9999 (comfortably over the 0.85 gate)
+_PERTURB_SPARK = ("transform(v, (x, i) -> "
+                  "x * (1D + 0.004D * cast((i % 7) - 3 as double)))")
+_PERTURB_DUCK = ("list_transform(v, (x, i) -> "
+                 "x * (1 + 0.004 * (((i - 1) % 7) - 3)))")
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: embeddings table + seeded perturbed twins →
+    near-dup pairs. The seeded twins guarantee non-zero rows so the
+    pair/threshold logic is certified, not vacuously green."""
+    base = (table(spark, sf, "embeddings")
+            .select("vec_id",
+                    F.expr("transform(embedding, x -> cast(x as double))")
+                    .alias("v")))
+    pert = (base.filter(F.col("vec_id") < NEARDUP_SEED_DUPS)
+            .select((F.col("vec_id") + NEARDUP_SEED_OFFSET)
+                    .alias("vec_id"),
+                    F.expr(_PERTURB_SPARK).alias("v")))
+    return neardup_pairs(base.unionAll(pert))
+
+
 EMBEDDING_NEARDUP_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < {NEARDUP_CENTROIDS}
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {NEARDUP_SEED_OFFSET} AS vec_id,
+         {_PERTURB_DUCK} AS v
+  FROM base WHERE vec_id < {NEARDUP_SEED_DUPS}
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cv
+  FROM aug WHERE vec_id < {NEARDUP_CENTROIDS}
 ), assigned AS (
-  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      c.cv), 4) AS ccos
-  FROM embeddings e CROSS JOIN cents c
+  SELECT e.vec_id, e.v, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 4) AS ccos
+  FROM aug e CROSS JOIN cents c
 ), assignment AS (
   SELECT vec_id, v, centroid_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -507,6 +507,8 @@ def _training_data_queries() -> dict:
                                  dedup.SIMHASH_FINGERPRINTS_SQL),
         "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
                                 dedup.NGRAM_JACCARD_PAIRS_SQL),
+        "lsh_jaccard_neardups": (dedup.lsh_jaccard_neardups,
+                                 dedup.LSH_JACCARD_NEARDUPS_SQL),
         "cosine_topk": (similarity.cosine_topk,
                         similarity.COSINE_TOPK_SQL),
         "ann_ivf_topk": (similarity.ann_ivf_topk,
