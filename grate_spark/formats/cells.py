@@ -231,3 +231,153 @@ def go_sprint(v: Any) -> str:
     if isinstance(v, _dt.datetime):
         return go_time_string(v)
     return str(v)
+
+
+# ---------------------------------------------------------------------------
+# Cross-type comparison (commonxl/cell.go:319-463).
+
+import re as _re
+
+_MAX_I64 = (1 << 63) - 1
+_MIN_I64 = -(1 << 63)
+
+_INT_RE = _re.compile(r"\s*([+-]?\d+)")
+_FLOAT_RE = _re.compile(
+    r"\s*([+-]?(?:\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
+    r"|[iI][nN][fF](?:inity)?|[nN][aA][nN]))")
+
+
+def _go_scan_int(s: str):
+    """Go ``fmt.Sscanf(s, "%d", &x)``: leading int, trailing junk OK."""
+    m = _INT_RE.match(s)
+    return int(m.group(1)) if m else None
+
+
+def _go_scan_float(s: str):
+    """Go ``fmt.Sscanf(s, "%g", &x)``: leading float, trailing junk OK."""
+    m = _FLOAT_RE.match(s)
+    if not m:
+        return None
+    tok = m.group(1)
+    low = tok.lstrip("+-").lower()
+    if low.startswith("inf"):
+        return float("-inf") if tok[0] == "-" else float("inf")
+    if low.startswith("nan"):
+        return float("nan")
+    return float(tok)
+
+
+def _num(v) -> float:
+    """Numeric view used by Equal: ints cast, strings %g-scanned,
+    unparseable -> 0.0 (Go's zero-value on Sscanf failure)."""
+    if isinstance(v, bool):
+        # Go: a bool is neither float64 nor int64 -> Sprint + %g scan
+        # fails -> 0.0
+        return 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    x = _go_scan_float(go_sprint(v))
+    return 0.0 if x is None else x
+
+
+def cell_equal(a: "Cell", b: "Cell") -> bool:
+    """Reference ``Cell.Equal`` (commonxl/cell.go:319-344): numeric-first
+    when either side is typed INTEGER/FLOAT, else mutual-Less equality.
+
+    Faithfully reproduces the reference's quirk that the *second*
+    operand's fallback parse scans ``fmt.Sprint(c[0])`` — the FIRST
+    cell's value (cell.go:338: ``Sscanf(fmt.Sprint(c[0]), "%g", &v2)``)
+    — so a numeric-typed cell compared against an unparseable value
+    falls back to self-comparison.
+    """
+    if a.ctype in (FLOAT, INTEGER) or b.ctype in (FLOAT, INTEGER):
+        v1 = _num(a.value)
+        if isinstance(b.value, (int, float)) and not isinstance(
+                b.value, bool):
+            v2 = float(b.value)
+        else:
+            # reference scans Sprint(c[0]) here, not other[0]
+            x = _go_scan_float(go_sprint(a.value))
+            v2 = 0.0 if x is None else x
+        return v1 == v2
+    return cell_less(a, b) == cell_less(b, a)
+
+
+def cell_less(a: "Cell", b: "Cell") -> bool:
+    """Reference ``Cell.Less`` (commonxl/cell.go:346-463): typed
+    comparison matrix with best-effort numeric parsing of strings."""
+    v1, v2 = a.value, b.value
+    if v1 is None:
+        return False
+    if isinstance(v1, bool):
+        # F < truthy(v2); T < anything = F
+        if v1:
+            return False
+        if v2 is None:
+            return False
+        if isinstance(v2, bool):
+            return v2
+        if isinstance(v2, int):
+            return v2 != 0
+        if isinstance(v2, float):
+            return v2 != 0.0
+        if isinstance(v2, str):
+            return BOOL_STRINGS.get(v2, False)
+        return False
+    if isinstance(v1, int):
+        if v2 is None:
+            return False
+        if isinstance(v2, bool):
+            return v1 < (1 if v2 else 0)
+        if isinstance(v2, int):
+            return v1 < v2
+        if isinstance(v2, float):
+            if v2 < _MIN_I64:
+                return False
+            if v2 > _MAX_I64:
+                return True
+            return float(v1) < v2
+        if isinstance(v2, str):
+            x = _go_scan_int(v2)
+            if x is not None:
+                return v1 < x
+            return go_sprint(v1) < v2
+        raise TypeError("unable to compare cells (invalid internal type)")
+    if isinstance(v1, float):
+        if v2 is None:
+            return False
+        if isinstance(v2, bool):
+            return v1 < (1.0 if v2 else 0.0)
+        if isinstance(v2, int):
+            if v1 < _MIN_I64:
+                return True
+            if v1 > _MAX_I64:
+                return False
+            return v1 < float(v2)
+        if isinstance(v2, float):
+            return v1 < v2
+        if isinstance(v2, str):
+            x = _go_scan_float(v2)
+            if x is not None:
+                return v1 < x
+            return go_sprint(v1) < v2
+        raise TypeError("unable to compare cells (invalid internal type)")
+    if isinstance(v1, str):
+        if v2 is None:
+            return False
+        if isinstance(v2, bool):
+            return v2 and not BOOL_STRINGS.get(v1, False)
+        if isinstance(v2, int):
+            x = _go_scan_int(v1)
+            if x is not None:
+                return x < v2
+            return v1 < go_sprint(v2)
+        if isinstance(v2, float):
+            x = _go_scan_float(v1)
+            if x is not None:
+                return x < v2
+            return v1 < go_sprint(v2)
+        if isinstance(v2, str):
+            return v1 < v2
+        raise TypeError("unable to compare cells (invalid internal type)")
+    raise TypeError("unable to compare cells (invalid internal type)")

@@ -193,3 +193,68 @@ def test_coercion_matrix():
     assert c.value == dt.datetime(2004, 7, 11) and c.ctype == C.DATE
     c = C.new_cell_with_type("", C.INTEGER, f)  # blank stays blank-ish
     assert c.ctype == C.BLANK
+
+
+# -- cross-type compare (commonxl/cell.go:319-463) -----------------------------
+
+def test_cell_less_matrix():
+    from grate_spark.formats.cells import (BOOLEAN, FLOAT, INTEGER, STRING,
+                                           Cell, cell_less, new_cell)
+
+    c = new_cell
+    # bool rows: F < truthy, T < nothing
+    assert cell_less(c(False), c(True)) is True
+    assert cell_less(c(True), c(False)) is False
+    assert cell_less(c(False), c(1)) is True
+    assert cell_less(c(False), c(0)) is False
+    assert cell_less(c(False), c(0.5)) is True
+    assert cell_less(c(False), c("yes")) is True
+    assert cell_less(c(False), c("nope")) is False
+    assert cell_less(c(True), c(99)) is False
+    # int rows
+    assert cell_less(c(1), c(2)) is True
+    assert cell_less(c(2), c(1)) is False
+    assert cell_less(c(1), c(1.5)) is True
+    assert cell_less(c(1), c(True)) is False
+    assert cell_less(c(0), c(True)) is True
+    assert cell_less(c(5), c("12")) is True      # numeric parse of str
+    assert cell_less(c(5), c("12abc")) is True   # Sscanf trailing junk
+    assert cell_less(c(5), c("abc")) is True     # falls to "5" < "abc"
+    assert cell_less(c(5), c(float(2**64))) is True   # > MaxInt64
+    assert cell_less(c(5), c(float(-2**64))) is False  # < MinInt64
+    # float rows
+    assert cell_less(c(1.5), c(2)) is True
+    assert cell_less(c(1.5), c("1.6")) is True
+    assert cell_less(c(1.5), c("x")) is True     # "1.5" < "x"
+    assert cell_less(c(float(2**64)), c(7)) is False
+    assert cell_less(c(float(-2**64)), c(7)) is True
+    assert cell_less(c(0.5), c(True)) is True
+    # string rows
+    assert cell_less(c("a"), c("b")) is True
+    assert cell_less(c("12"), c(13)) is True     # parse str as int
+    assert cell_less(c("1.5"), c(1.6)) is True
+    assert cell_less(c("x"), c(2)) is False      # "x" < "2" is False
+    assert cell_less(c("no"), c(True)) is True   # bool-literal aware
+    assert cell_less(c("yes"), c(True)) is False
+    # nil never less / nothing less than before nil
+    assert cell_less(Cell(None, 0), c(5)) is False
+    assert cell_less(c(5), Cell(None, 0)) is False
+
+
+def test_cell_equal_numeric_first():
+    from grate_spark.formats.cells import Cell, FLOAT, INTEGER, STRING, \
+        cell_equal, new_cell
+
+    c = new_cell
+    assert cell_equal(c(2), c(2.0)) is True
+    assert cell_equal(c(2), c(3)) is False
+    assert cell_equal(Cell("2.5", STRING), Cell(2.5, FLOAT)) is True
+    assert cell_equal(c("a"), c("a")) is True
+    assert cell_equal(c("a"), c("b")) is False
+    # non-numeric falls back to mutual Less
+    assert cell_equal(c(False), c("no")) is True
+    assert cell_equal(c(False), c("yes")) is False
+    # reference quirk (cell.go:338): the second operand's fallback parse
+    # reads Sprint of the FIRST value, so numeric-vs-unparseable-string
+    # self-compares and reports equal
+    assert cell_equal(Cell(2, INTEGER), Cell("zzz", STRING)) is True

@@ -63,3 +63,43 @@ def test_non_empty_sheets(spark):
     ])
     got = {r["sheet"] for r in non_empty_sheets(df).collect()}
     assert got == {"wide", "tall"}
+
+
+def test_export_tsv_layout_and_content(spark, tmp_path):
+    """B18/I25: grate2tsv-style sink — md5[0:2]/md5[2:4] bucket dirs
+    (cmd/grate2tsv/main.go:186-229), one file set per (path, sheet),
+    tab-joined cells in row_id order, blank rows dropped."""
+    import glob
+    import hashlib
+    import os
+
+    from grate_spark.operators.sinks import export_tsv
+
+    df = spark.createDataFrame(
+        [("r", "a/book.xlsx", "S1", 0, ["h1", "h2"], None),
+         ("r", "a/book.xlsx", "S1", 1, ["v1", "v2"], None),
+         ("r", "a/book.xlsx", "S1", 2, ["", ""], None),      # blank: drop
+         ("r", "a/book.xlsx", "S2", 0, ["x"], None),
+         ("r", "bad.xls", "S1", 0, ["junk"], "boom")],       # error: drop
+        "repo string, path string, sheet string, row_id long, "
+        "cells array<string>, error string")
+    out = str(tmp_path / "results")
+    export_tsv(df, out)
+
+    md5 = hashlib.md5(b"book.xlsx").hexdigest()
+    b1, b2 = md5[:2], md5[2:4]
+    s1_dir = os.path.join(out, f"b1={b1}", f"b2={b2}",
+                          "name=a_book.xlsx.S1")
+    assert os.path.isdir(s1_dir), sorted(
+        glob.glob(out + "/**", recursive=True))
+    lines = []
+    for part in sorted(glob.glob(s1_dir + "/part-*")):
+        with open(part) as fh:
+            lines += [ln.rstrip("\n") for ln in fh]
+    assert lines == ["h1\th2", "v1\tv2"]  # row order kept, blank gone
+
+    s2_dir = os.path.join(out, f"b1={b1}", f"b2={b2}",
+                          "name=a_book.xlsx.S2")
+    assert os.path.isdir(s2_dir)
+    # the errored path must not be exported at all
+    assert not glob.glob(out + "/**/name=bad.xls*", recursive=True)
