@@ -174,13 +174,19 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
                           n_files: int | None = None,
                           rows_per_file: int | None = None,
                           n_batches: int | None = None,
-                          workdir: str | None = None) -> dict:
+                          workdir: str | None = None,
+                          events_path: str | None = None) -> dict:
     """Materialize a bench event log, then time a full checkpointed
     replay. Returns events/sec plus breakdowns.
 
     The timed section is the replay only (the canonical results table;
     the wide projection is exercised by the correctness suite, not the
     throughput metric).
+
+    ``events_path``: an already-materialized event log to reuse (the
+    scaling study runs the SAME parquet through both parallelism
+    levels); generated there if absent. The lake always lives in a
+    fresh tempdir.
     """
     n_files = n_files or int(os.environ.get("GRATE_BENCH_FILES", "6000"))
     rows_per_file = rows_per_file or int(
@@ -195,12 +201,13 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
         # cluster would be writing to an object store, not this disk
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         workdir = tempfile.mkdtemp(prefix="grate-replay-bench-", dir=base)
-    ev_path = os.path.join(workdir, "events.parquet")
+    ev_path = events_path or os.path.join(workdir, "events.parquet")
     lake_root = os.path.join(workdir, "lake")
     try:
-        bench_events(spark, sf_dir, n_files=n_files,
-                     rows_per_file=rows_per_file, fmt=fmt) \
-            .write.mode("overwrite").parquet(ev_path)
+        if not os.path.exists(ev_path):
+            bench_events(spark, sf_dir, n_files=n_files,
+                         rows_per_file=rows_per_file, fmt=fmt) \
+                .write.mode("overwrite").parquet(ev_path)
         events = spark.read.parquet(ev_path)
         n_events = events.count()
 

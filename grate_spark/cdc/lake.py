@@ -105,9 +105,13 @@ def _align(df: DataFrame, target: StructType,
 class LakeCatalog:
     """A directory of bucketed tables with one shared commit log."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 broadcast_marker_bytes: int = 64 << 20):
         self.spark = spark
         self.root = root
+        # marker sets at or under this size broadcast in the MoR read;
+        # larger sets fall back to a shuffle join (see read())
+        self.broadcast_marker_bytes = broadcast_marker_bytes
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
 
@@ -175,16 +179,29 @@ class LakeCatalog:
             out = out.unionByName(p)
         return out
 
-    def _markers(self, t: dict) -> DataFrame | None:
+    def _markers(self, t: dict) -> tuple[DataFrame | None, int]:
         """Union key-marker (tombstone) files: key cols + seq. Markers
-        are small (cumulative distinct touched keys, reset by compact)
-        and stored unbucketed — always read in full; pruned-bucket reads
-        simply won't match the extra keys."""
-        paths = [os.path.join(self.root, e["path"])
-                 for fs in t.get("markers", {}).values() for e in fs]
+        are small between compactions (cumulative distinct touched keys,
+        reset by compact) and stored unbucketed — always read in full;
+        pruned-bucket reads simply won't match the extra keys. Returns
+        (df, total_bytes) so the reader can pick broadcast vs
+        sort-merge by actual size."""
+        paths = []
+        total = 0
+        for fs in t.get("markers", {}).values():
+            for e in fs:
+                p = os.path.join(self.root, e["path"])
+                paths.append(p)
+                b = e.get("bytes")
+                if b is None:  # pre-upgrade manifests: stat the file
+                    try:
+                        b = os.path.getsize(p)
+                    except OSError:
+                        b = 0
+                total += b
         if not paths:
-            return None
-        return self.spark.read.parquet(*paths)
+            return None, 0
+        return self.spark.read.parquet(*paths), total
 
     def read(self, name: str, manifest: dict | None = None,
              buckets: list[int] | None = None) -> DataFrame:
@@ -203,17 +220,22 @@ class LakeCatalog:
         data = self._data_union(t, buckets, current)
         if data is None:
             return self.spark.createDataFrame([], current)
-        markers = self._markers(t)
+        markers, marker_bytes = self._markers(t)
         if markers is not None:
             key_cols = list(t["key_cols"])
             latest = (markers.groupBy(*key_cols)
                       .agg(F.max("seq").alias("_mseq")))
             # markers are the cumulative distinct touched keys — small
-            # vs data; broadcast keeps the data side shuffle-free (at
-            # cluster scale both sides are co-bucketed -> SPJ instead)
-            # files written before any merge (or by compact) carry no
-            # _seq column -> NULL -> treated as sequence 0 (oldest)
-            data = (data.join(F.broadcast(latest), key_cols, "left")
+            # between compactions, so broadcast keeps the data side
+            # shuffle-free. But cumulative growth is unbounded between
+            # compactions, so past the broadcast budget the superseded-
+            # row filter degrades gracefully to a shuffle join instead
+            # of blowing the driver (at cluster scale both sides are
+            # co-bucketed -> SPJ). Files written before any merge (or
+            # by compact) carry no _seq -> NULL -> sequence 0 (oldest).
+            if marker_bytes <= self.broadcast_marker_bytes:
+                latest = F.broadcast(latest)
+            data = (data.join(latest, key_cols, "left")
                     .filter(F.coalesce(F.col("_seq"), F.lit(0)) >=
                             F.coalesce(F.col("_mseq"), F.lit(0)))
                     .drop("_mseq"))
@@ -449,7 +471,8 @@ class Transaction:
         markers.coalesce(1).write.mode("overwrite").parquet(full)
         t.setdefault("markers", {})
         entries = [{"path": os.path.join(rel, fn),
-                    "schema_id": t["schema_id"]}
+                    "schema_id": t["schema_id"],
+                    "bytes": os.path.getsize(os.path.join(full, fn))}
                    for fn in sorted(os.listdir(full))
                    if fn.endswith(".parquet")]
         t["markers"].setdefault("_all", []).extend(entries)

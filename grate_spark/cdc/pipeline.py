@@ -138,6 +138,17 @@ class CdcPipeline:
             rows = rows.join(F.broadcast(ev_meta), ["repo", "path"]) \
                 .withColumn("batch_id", F.lit(batch_id))
 
+            # row stats ride the merge write itself via an Observation —
+            # zero extra jobs, no re-read of the written files (at scale
+            # a re-read is a second pass over the batch's output)
+            from pyspark.sql import Observation
+            obs = Observation(f"cdc-batch-{batch_id}")
+            rows = rows.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("error").alias("n_error_rows"),
+                F.max(F.size("cells")).alias("max_cols"))
+
             # ONE heavy job: extraction fused straight into the MoR
             # merge write (map-side extract -> bucket shuffle -> write)
             txn = self.lake.begin()
@@ -147,33 +158,19 @@ class CdcPipeline:
                                            touched=touched)
             _mark("merge results (extraction fused)")
 
-            # row stats from the freshly written files: count comes from
-            # parquet footers, the rest is a 2-column scan of new files
-            written = self.spark.read.parquet(*stats["files"]) \
-                if stats["files"] else None
-            if written is not None and self.wide_view:
-                stat = written.agg(
-                    F.count("*").alias("n_rows"),
-                    F.sum(F.when(F.col("error").isNotNull(), 1)
-                          .otherwise(0)).alias("n_error_rows"),
-                    F.max(F.size("cells")).alias("max_cols")).collect()[0]
-                n_rows = stat["n_rows"]
-                n_error_rows = int(stat["n_error_rows"] or 0)
-                max_cols = int(stat["max_cols"] or 0)
-            elif written is not None:
-                # no wide view -> only footer-resolvable stats needed
-                # (count + error count come from metadata/1-column scan)
-                stat = written.agg(
-                    F.count("*").alias("n_rows"),
-                    F.count("error").alias("n_error_rows")).collect()[0]
-                n_rows = stat["n_rows"]
-                n_error_rows = int(stat["n_error_rows"] or 0)
-                max_cols = 0
-            else:
-                n_rows = n_error_rows = max_cols = 0
-            _mark("row stats (from written files)")
+            # the merge's write action completed, so the observed
+            # metrics are available without touching the data again
+            vals = obs.get
+            n_rows = int(vals["n_rows"] or 0)
+            n_error_rows = int(vals["n_error_rows"] or 0)
+            max_cols = int(vals["max_cols"] or 0)
+            _mark("row stats (observed on the merge write)")
 
-            if self.wide_view and written is not None:
+            if self.wide_view and stats["files"]:
+                # the wide merge needs the typed-width projection, whose
+                # width (max_cols) we only know post-write; read the
+                # files the merge just wrote (column-pruned) as input
+                written = self.spark.read.parquet(*stats["files"])
                 txn.merge_replace_keys(WIDE_TABLE,
                                        _wide_view(written, max_cols),
                                        all_keys, MERGE_KEY,
@@ -218,14 +215,21 @@ class CdcPipeline:
 
     def replay(self, events: DataFrame, batch_size: int | None = None,
                max_batches: int | None = None,
-               compact_after_markers: int = 256) -> list[dict]:
+               compact_after_markers: int = 256,
+               compact_after_marker_bytes: int = 128 << 20) -> list[dict]:
         """Tail the log from the committed checkpoint to its high
         watermark in offset-bounded batches. Restart-safe: the checkpoint
         is read from the last committed manifest.
 
-        ``compact_after_markers``: when a table accumulates more than
-        this many MoR marker files, fold them into the data files after
-        the replay loop (maintenance off the ingest critical path)."""
+        ``compact_after_markers`` / ``compact_after_marker_bytes``: when
+        a table accumulates more than this many MoR marker files OR this
+        many marker bytes (marker growth tracks distinct touched keys,
+        not batch count — one huge batch can outgrow the broadcast
+        budget on its own), fold them into the data files after the
+        replay loop (maintenance off the ingest critical path). Until
+        compaction runs, reads stay correct regardless: the MoR read
+        switches from broadcast to shuffle join past the broadcast
+        budget (lake.read)."""
         hwm_row = events.agg(F.max("offset").alias("h")).collect()[0]
         hwm = hwm_row["h"] or 0
         results = []
@@ -258,9 +262,13 @@ class CdcPipeline:
             m = self.lake.manifest()
             for tname in (RESULTS_TABLE, WIDE_TABLE):
                 t = m["tables"].get(tname)
-                if t and sum(len(fs) for fs in
-                             t.get("markers", {}).values()) \
-                        > compact_after_markers:
+                if not t:
+                    continue
+                entries = [e for fs in t.get("markers", {}).values()
+                           for e in fs]
+                n_bytes = sum(e.get("bytes", 0) for e in entries)
+                if (len(entries) > compact_after_markers
+                        or n_bytes > compact_after_marker_bytes):
                     txn = self.lake.begin()
                     txn.compact(tname)
                     txn.commit()

@@ -236,3 +236,98 @@ SELECT query_id, neighbor_id, cos, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: deterministic spherical k-means centroids.
+
+def train_ivf_centroids(emb: DataFrame, k: int,
+                        iters: int = 3) -> list:
+    """Deterministic spherical k-means (Lloyd) over (vec_id, v):
+    init = the k lowest vec_ids (seedless, reproducible), assign by
+    cosine, recompute the normalized per-cluster mean, ``iters`` fixed
+    iterations. Returns ``[(centroid_id, [double, ...]), ...]`` — k·dim
+    doubles, bounded driver metadata by design (the assignment passes
+    stay distributed; only the centroid table round-trips, exactly like
+    broadcasting a dimension).
+
+    Per-iteration plan: broadcast-centroid argmax assignment (one scan),
+    posexplode -> (cluster, pos) partial-agg mean (one shuffle on a
+    k·dim-key space). Components round to 6 dp so results are stable
+    across partitionings (float sum order).
+    """
+    spark = emb.sparkSession
+    norm = F.expr(f"transform(v, x -> x / {_NORM.format(v='v')})")
+    unit = emb.select("vec_id", norm.alias("v")).cache()
+    try:
+        cents = [(int(r["vec_id"]), list(r["v"])) for r in
+                 unit.orderBy("vec_id").limit(k).collect()]
+        cents = [(i, v) for i, (_vid, v) in enumerate(cents)]
+        for _ in range(iters):
+            cdf = spark.createDataFrame(
+                [(cid, v) for cid, v in cents],
+                "centroid_id int, cv array<double>")
+            dot = F.expr(_DOT.format(a="v", b="cv"))  # unit vecs: dot=cos
+            wa = Window.partitionBy("vec_id").orderBy(
+                F.desc("d"), "centroid_id")
+            assigned = (unit.crossJoin(F.broadcast(cdf))
+                        .withColumn("d", F.round(dot, 6))
+                        .withColumn("r", F.row_number().over(wa))
+                        .filter(F.col("r") == 1)
+                        .select("vec_id", "v", "centroid_id"))
+            means = (assigned
+                     .select("centroid_id",
+                             F.posexplode("v").alias("pos", "x"))
+                     .groupBy("centroid_id", "pos")
+                     .agg(F.avg("x").alias("m"))
+                     .groupBy("centroid_id")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "m"))).alias("pm"))
+                     .select("centroid_id",
+                             F.expr("transform(pm, e -> e.m)").alias("cv"))
+                     .select("centroid_id",
+                             F.expr("transform(cv, x -> round(x / "
+                                    + _NORM.format(v='cv')
+                                    + ", 6))").alias("cv")))
+            got = {int(r["centroid_id"]): list(r["cv"])
+                   for r in means.collect()}
+            # empty clusters keep their previous centroid
+            cents = [(cid, got.get(cid, v)) for cid, v in cents]
+        return cents
+    finally:
+        unit.unpersist()
+
+
+def ann_topk_trained(emb: DataFrame, query_ids: list, centroids: list,
+                     top_k: int = TOP_K, nprobe: int = 1) -> DataFrame:
+    """IVF search with externally trained centroids: assign every vector
+    to its nearest centroid (broadcast pass), probe the query's nearest
+    ``nprobe`` buckets, exact cosine re-rank inside them. ``emb`` is
+    (vec_id, v array<double>)."""
+    spark = emb.sparkSession
+    cdf = F.broadcast(spark.createDataFrame(
+        [(cid, v) for cid, v in centroids],
+        "centroid_id int, cv array<double>"))
+    cos = F.expr(_cos_expr("cv", "v"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                              "centroid_id")
+    ranked = (emb.crossJoin(cdf)
+              .withColumn("ccos", cos)
+              .withColumn("r", F.row_number().over(wa)))
+    assignment = (ranked.filter(F.col("r") == 1)
+                  .select("vec_id", "v", "centroid_id"))
+    probes = (ranked.filter(F.col("r") <= nprobe)
+              .filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"),
+                      F.col("centroid_id").alias("qc")))
+    cand = (assignment.join(F.broadcast(probes),
+                            (F.col("centroid_id") == F.col("qc"))
+                            & (F.col("vec_id") != F.col("query_id")))
+            .withColumn("cos", F.expr(_cos_expr("qv", "v"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank")
+            .orderBy("query_id", "rank"))

@@ -32,13 +32,14 @@ sys.path.insert(0, {repo!r})
 # sandbox emulates that by amortizing it over one large batch
 os.environ.setdefault("GRATE_BENCH_FMT", "xlsx")
 os.environ.setdefault("GRATE_BENCH_BATCHES", "1")
-os.environ.setdefault("GRATE_BENCH_ROWS", "300")
+os.environ.setdefault("GRATE_BENCH_ROWS", "500")
 from grate_spark.session import get_spark
 from grate_spark.cdc.bench import replay_events_per_sec
 
 spark = get_spark(cpus={cpus}, app="scaling-bench-{cpus}")
 try:
-    res = replay_events_per_sec(spark, {sf_dir!r}, n_files={n_files})
+    res = replay_events_per_sec(spark, {sf_dir!r}, n_files={n_files},
+                                events_path={events_path!r})
     print("RESULT " + json.dumps(res))
 finally:
     spark.stop()
@@ -46,6 +47,7 @@ finally:
 
 
 def run_level(cpus: int, sf_dir: str, n_files: int,
+              events_path: str,
               repeat: int | None = None) -> dict:
     """Best-of-N runs: the sandbox VM has multi-x run-to-run variance
     (noisy neighbors / frequency scaling); min wall-clock is the
@@ -54,9 +56,13 @@ def run_level(cpus: int, sf_dir: str, n_files: int,
     best = None
     for _ in range(repeat):
         code = _CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
-                             n_files=n_files)
+                             n_files=n_files, events_path=events_path)
         out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, check=True)
+                             capture_output=True, text=True)
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed rc={out.returncode}:"
+                f"\n{out.stderr[-4000:]}")
         res = None
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
@@ -84,8 +90,18 @@ def main() -> None:
         int(os.environ.get("GRATE_BENCH_N", "4")),
         int(os.environ.get("GRATE_BENCH_4N", "16")))
 
-    low = run_level(low_cpus, sf_dir, n_files)
-    high = run_level(high_cpus, sf_dir, n_files)
+    import tempfile
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shared = tempfile.mkdtemp(prefix="grate-scaling-events-", dir=base)
+    events_path = os.path.join(shared, "events.parquet")
+    try:
+        # first child materializes the log; every later run (both
+        # levels, all repeats) replays the SAME parquet bytes
+        low = run_level(low_cpus, sf_dir, n_files, events_path)
+        high = run_level(high_cpus, sf_dir, n_files, events_path)
+    finally:
+        import shutil
+        shutil.rmtree(shared, ignore_errors=True)
 
     speedup = low["replay_seconds"] / high["replay_seconds"]
     efficiency = speedup / (high_cpus / low_cpus)

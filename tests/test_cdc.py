@@ -463,3 +463,46 @@ def test_synthetic_replay_matches_expected(spark, tmp_path):
                .filter(F.col("row_id") >= 1))
     assert v1_only.filter(F.col("c004").isNotNull()).count() == 0
     assert v1_only.count() > 0
+
+
+def test_marker_growth_switches_to_shuffle_join(spark, tmp_path):
+    """Many merges with NO compaction: once the cumulative marker set
+    exceeds the broadcast budget, the MoR read must fall back to a
+    shuffle join and still produce latest-writer-wins state."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"),
+                      broadcast_marker_bytes=1)  # force the fallback
+    for i in range(6):
+        txn = cat.begin()
+        upd = spark.createDataFrame(
+            [("r", f"p{k}", 0, f"v{i}") for k in range(4)],
+            "repo string, path string, row_id int, v string")
+        txn.merge_replace_keys("t", upd, upd.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    # with auto-broadcast off, only an explicit hint could broadcast;
+    # past the budget the hint must be absent -> sort-merge join
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = cat.read("t")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        got = sorted((r["path"], r["v"]) for r in df.collect())
+        assert got == [(f"p{k}", "v5") for k in range(4)]
+        # under the default budget the hint IS applied (forced even
+        # with auto-broadcast off) and state reads identically
+        cat2 = LakeCatalog(spark, str(tmp_path / "lake"))
+        df2 = cat2.read("t")
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan2, plan2
+        got2 = sorted((r["path"], r["v"]) for r in df2.collect())
+        assert got2 == got
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -178,3 +178,29 @@ def test_single_col_accepted():
 def test_crlf_tsv():
     res = extract_blob("x.tsv", "a\tb\r\nc\td\r\n")
     assert [r[0] for r in res.tables[0].rows] == [["a", "b"], ["c", "d"]]
+
+
+def test_grater_cli_stdout_matches_tsv_golden(capsys):
+    """The grater CLI analog (cmd/grater/main.go:16-57) prints the
+    tab-joined rendered rows for each file argument."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "grater_cli", os.path.join(os.path.dirname(__file__),
+                                   "..", "scripts", "grater.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = os.path.join(REF, "basic.xlsx")
+    if not os.path.exists(src):
+        import pytest
+        pytest.skip("reference testdata not available")
+    rc = mod.main([src])
+    out = capsys.readouterr().out.rstrip("\n").split("\n")
+    assert rc == 0
+    assert out[0] == "a\tb\tc\td"
+    assert out[1].startswith("1\tHello\t42")
+    # a missing file is an error line on stderr + rc 1, not a crash
+    rc = mod.main(["/nonexistent/file.xls"])
+    assert rc == 1

@@ -89,3 +89,66 @@ def test_minhash_identical_docs_collide(spark):
              for r in sigs}
     assert by_id[1] == by_id[2]
     assert by_id[1] != by_id[3]
+
+
+def _emb_double(spark, sf):
+    return (spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+            .select("vec_id",
+                    F.expr("transform(embedding, x -> cast(x as double))")
+                    .alias("v")))
+
+
+def test_ivf_training_deterministic_and_recall(spark):
+    """Trained IVF (spherical k-means, fixed iters, seedless init) is
+    reproducible, and recall@3 vs the brute-force cosine ground truth
+    improves monotonically with nprobe (probing more buckets only adds
+    candidates)."""
+    from pyspark.sql import Window
+
+    from grate_spark.ops.similarity import (_cos_expr, ann_topk_trained,
+                                            train_ivf_centroids)
+
+    sf = os.environ.get("GRATE_TEST_SF_MED", "/root/testdata/sf0.01")
+    emb = _emb_double(spark, sf)
+    qids = [8, 9, 10, 11, 12]
+
+    c1 = train_ivf_centroids(emb, 8, iters=2)
+    c2 = train_ivf_centroids(emb, 8, iters=2)
+    assert c1 == c2  # 6-dp rounding pins float-sum order noise
+
+    # brute-force ground truth
+    q = emb.filter(F.col("vec_id").isin(qids)) \
+        .selectExpr("vec_id AS query_id", "v AS qv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    gt = (emb.crossJoin(F.broadcast(q))
+          .filter(F.col("vec_id") != F.col("query_id"))
+          .withColumn("cos", F.expr(_cos_expr("qv", "v")))
+          .withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= 3).select("query_id", "vec_id")
+          .collect())
+    gtset = {(r["query_id"], r["vec_id"]) for r in gt}
+
+    def recall(nprobe):
+        res = ann_topk_trained(emb, qids, c1, top_k=3,
+                               nprobe=nprobe).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in res}
+        return len(got & gtset) / len(gtset)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1           # superset candidates -> monotone recall
+    assert r1 >= 0.2          # measured 0.267 on this data
+    assert r2 >= 0.5          # measured 0.6
+
+
+def test_ivf_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts no vectors keeps its previous value
+    instead of vanishing (cluster count is stable across iterations)."""
+    from grate_spark.ops.similarity import train_ivf_centroids
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)]
+        + [(9, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id int, v array<double>")
+    cents = train_ivf_centroids(df, 3, iters=2)
+    assert len(cents) == 3
+    assert all(len(v) == 4 for _cid, v in cents)
