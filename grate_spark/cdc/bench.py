@@ -167,7 +167,13 @@ def bench_events(spark: SparkSession, sf_dir: str, n_files: int = 800,
             .withColumn("partition",
                         F.pmod(F.xxhash64("repo"),
                                F.lit(n_partitions)).cast("int"))
-            .select(*EVENT_COLS))
+            .select(*EVENT_COLS)
+            # the global offset window collapses to ONE partition; fan
+            # back out before the caller writes, or the materialized log
+            # becomes a single parquet row group whose scan (and the
+            # shuffle map side above it) serializes every replay. A real
+            # change log is many files/row groups — emulate that.
+            .repartition(256, "repo", "path"))
 
 
 def replay_events_per_sec(spark: SparkSession, sf_dir: str,

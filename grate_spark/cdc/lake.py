@@ -421,6 +421,38 @@ class Transaction:
                                           None).items():
             t["files"].setdefault(str(b), []).extend(fs)
 
+    def append_rows(self, name: str, rows: list[tuple],
+                    schema: StructType) -> None:
+        """Driver-side append for TINY tables (per-batch metrics, log
+        lines): one pyarrow parquet write, zero Spark jobs. Commit
+        semantics identical to append(); Spark reads the file back
+        through the normal manifest path. Never use for data-sized
+        tables — this is for bounded driver metadata only."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = self._ensure_table(name, schema,
+                               (schema.fields[0].name,), 1)
+        schema = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        _PA = {"integer": pa.int32(), "long": pa.int64(),
+               "double": pa.float64(), "string": pa.string(),
+               "boolean": pa.bool_()}
+        arrow = pa.schema([(f.name, _PA[f.dataType.typeName()])
+                           for f in schema.fields])
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.table({f.name: list(c) for f, c in
+                          zip(schema.fields, cols)}, schema=arrow)
+        rel = self._stage_dir(name)
+        bdir = os.path.join(self.cat.root, rel, "_bucket=0")
+        os.makedirs(bdir, exist_ok=True)
+        fn = os.path.join(bdir, "part-00000.parquet")
+        pq.write_table(table, fn)
+        t["files"].setdefault("0", []).append(
+            {"path": os.path.join(rel, "_bucket=0",
+                                  os.path.basename(fn)),
+             "schema_id": t["schema_id"]})
+
     def merge_replace_keys(self, name: str, new_rows: DataFrame,
                            delete_keys: DataFrame,
                            key_cols: tuple[str, ...],

@@ -8,11 +8,14 @@ Per micro-batch (SURVEY §3.4 lifecycle; north rule semantics):
    range are pruned.
 2. **tabular-artifact filter** on the path suffix (D6) — also pushed to
    the scan, never inside the UDF.
-3. **latest-offset-wins per key** (G1): one window over (repo, path); a
-   path updated 10^6 times in a batch extracts once.
-4. **salt + repartition**: extraction input spreads by hash(repo, path)
-   so a hot repo fans out across the cluster; partition count scales
-   with parallelism.
+3. **latest-offset-wins per key** (G1): the window runs over KEY
+   COLUMNS only (repo, path, offset, op); a path updated 10^6 times in
+   a batch extracts once. Blob payloads never enter the window.
+4. **winner selection without a blob shuffle**: the winning keys
+   broadcast back onto the scan as a semi-join, so extraction reads
+   blobs straight off the source splits (scan-partition parallelism);
+   batches whose winner set exceeds the broadcast budget fall back to
+   one co-partitioned full-row window shuffle.
 5. **extract UDTF** (mapInPandas) over winning I/U blobs; corrupt blobs
    become error rows (counted in metrics, never task failures).
 6. **MERGE**: per-path replace into the bucketed results table +
@@ -54,7 +57,8 @@ def _wide_view(rows: DataFrame, n_cols: int) -> DataFrame:
 class CdcPipeline:
     def __init__(self, spark: SparkSession, lake_root: str,
                  n_buckets: int = 32, n_partitions: int | None = None,
-                 wide_view: bool = True):
+                 wide_view: bool = True,
+                 broadcast_winners_max: int = 1_000_000):
         self.spark = spark
         self.lake = LakeCatalog(spark, lake_root)
         self.n_buckets = n_buckets
@@ -62,6 +66,11 @@ class CdcPipeline:
             spark.sparkContext.defaultParallelism)
         self.wide_view = wide_view
         self.force_repartition = n_partitions is not None
+        # batches up to this many events dedup via a broadcast semi-join
+        # of the winning (repo, path, offset) keys, so blob payloads are
+        # NEVER shuffled; bigger batches fall back to the full-row
+        # latest-wins window (one co-partitioned blob shuffle)
+        self.broadcast_winners_max = broadcast_winners_max
         self._pending_metrics: list[tuple] = []
 
     # -- one micro-batch -------------------------------------------------------
@@ -89,11 +98,15 @@ class CdcPipeline:
                       f"{now - _t0:.2f}s", flush=True)
                 _t0 = now
 
-        # latest-offset-wins per file key within the batch
+        # latest-offset-wins per file key within the batch, computed on
+        # KEY COLUMNS ONLY (repo, path, offset, op) — never the blob
+        # payload. The winners set is one row per distinct key: small,
+        # cacheable, broadcastable.
         w = Window.partitionBy("repo", "path").orderBy(F.desc("offset"))
-        latest = (batch.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
-        latest.cache()
+        winners = (batch.select("repo", "path", "offset", "op")
+                   .withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        winners.cache()
         try:
             # ONE driver action gives per-partition lineage, the event
             # count, and the touched-bucket set (shared by both merges)
@@ -117,14 +130,30 @@ class CdcPipeline:
                            "max_offset": r["max_offset"]}
                           for r in part_rows]
 
-            upserts = latest.filter(F.col("op") != "D")
-            # extraction input is already hash-distributed by
-            # (repo, path): the latest-wins window shuffled on exactly
-            # that key, so a hot repo fans out with NO extra shuffle of
-            # the blob contents. Only re-shuffle if the caller forces a
-            # different partition count.
-            blobs = upserts.select("repo", "path", "commit", "lang",
-                                   "content", "offset")
+            win_iu = winners.filter(F.col("op") != "D") \
+                .select("repo", "path", "offset")
+            if n_events <= self.broadcast_winners_max:
+                # broadcast semi-join selects the winning blob rows
+                # straight off the scan: NO shuffle of blob payloads at
+                # all — extraction parallelism is the scan's split
+                # count, and the only shuffle in the whole batch is the
+                # (small) extracted-row bucket exchange in the merge.
+                blobs = (batch.filter(F.col("op") != "D")
+                         .join(F.broadcast(win_iu),
+                               ["repo", "path", "offset"])
+                         .select("repo", "path", "commit", "lang",
+                                 "content", "offset"))
+            else:
+                # winners too big to broadcast: full-row latest-wins
+                # window — ONE blob shuffle, co-partitioned on the
+                # merge key, so a hot repo still fans out (at cluster
+                # scale a bucketed event table turns this into SPJ)
+                latest = (batch.withColumn(
+                    "_rn", F.row_number().over(w))
+                    .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+                    .drop("_rn"))
+                blobs = latest.select("repo", "path", "commit", "lang",
+                                      "content", "offset")
             shuffle_parts = int(self.spark.conf.get(
                 "spark.sql.shuffle.partitions"))
             if self.force_repartition and self.n_partitions != shuffle_parts:
@@ -133,8 +162,8 @@ class CdcPipeline:
             rows = with_content_sha(extract_files(blobs))
 
             # lineage columns come from the driving event
-            ev_meta = upserts.select("repo", "path",
-                                     F.col("offset").alias("src_offset"))
+            ev_meta = win_iu.select("repo", "path",
+                                    F.col("offset").alias("src_offset"))
             rows = rows.join(F.broadcast(ev_meta), ["repo", "path"]) \
                 .withColumn("batch_id", F.lit(batch_id))
 
@@ -152,7 +181,7 @@ class CdcPipeline:
             # ONE heavy job: extraction fused straight into the MoR
             # merge write (map-side extract -> bucket shuffle -> write)
             txn = self.lake.begin()
-            all_keys = latest.select("repo", "path")
+            all_keys = winners.select("repo", "path")
             stats = txn.merge_replace_keys(RESULTS_TABLE, rows, all_keys,
                                            MERGE_KEY, self.n_buckets,
                                            touched=touched)
@@ -196,18 +225,29 @@ class CdcPipeline:
                     "n_rows": n_rows, "n_error_rows": n_error_rows,
                     "committed": True, "lo": lo, "hi": hi}
         finally:
-            latest.unpersist()
+            winners.unpersist()
 
     def flush_metrics(self) -> None:
-        """Write buffered per-batch ingest metrics in one commit."""
+        """Write buffered per-batch ingest metrics in one commit.
+
+        Driver-side pyarrow write: metrics are a handful of rows per
+        batch, so spinning a Spark job (schedule + shuffle-free write +
+        listdir) for them was pure fixed cost on the ingest path."""
         if not self._pending_metrics:
             return
-        metrics = self.spark.createDataFrame(
-            self._pending_metrics,
-            "batch_id int, lo bigint, hi bigint, n_events bigint, "
-            "n_rows bigint, n_error_rows bigint, n_buckets int")
+        from pyspark.sql.types import (IntegerType, LongType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("batch_id", IntegerType()),
+            StructField("lo", LongType()),
+            StructField("hi", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("n_error_rows", LongType()),
+            StructField("n_buckets", IntegerType()),
+        ])
         txn = self.lake.begin()
-        txn.append(METRICS_TABLE, metrics)
+        txn.append_rows(METRICS_TABLE, self._pending_metrics, schema)
         txn.commit()
         self._pending_metrics = []
 

@@ -137,14 +137,14 @@ def decode_png(payload: bytes) -> np.ndarray:
                 line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
         elif ft == 3:  # Average
             for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) \
-                    & 0xFF
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x])
+                           + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for x in range(stride):
                 left = int(line[x - ch]) if x >= ch else 0
                 ul = int(prev[x - ch]) if x >= ch else 0
-                line[x] = (line[x]
+                line[x] = (int(line[x])
                            + _paeth(left, int(prev[x]), ul)) & 0xFF
         else:
             raise MediaDecodeError(f"png: bad filter {ft}")

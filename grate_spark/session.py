@@ -54,6 +54,13 @@ def get_spark(cpus: int | str | None = None,
         # MIN/MAX/COUNT over parquet resolve from footer statistics —
         # makes the replay's high-watermark probe metadata-only
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # finer input splits: blob scans feed the extraction UDF, whose
+        # per-split cost is seconds — 16 MB splits give several task
+        # waves per core so stragglers pipeline instead of capping the
+        # stage (default 128 MB + 4 MB open-cost bin-packs a whole
+        # batch into one wave)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # blob rows are ~100KB each (file contents): 256 rows ≈ 25MB per
         # Arrow batch keeps the python workers' resident set and copy

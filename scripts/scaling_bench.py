@@ -46,33 +46,24 @@ finally:
 """
 
 
-def run_level(cpus: int, sf_dir: str, n_files: int,
-              events_path: str,
-              repeat: int | None = None) -> dict:
-    """Best-of-N runs: the sandbox VM has multi-x run-to-run variance
-    (noisy neighbors / frequency scaling); min wall-clock is the
-    standard estimator of the machine-independent cost."""
-    repeat = repeat or int(os.environ.get("GRATE_SCALING_REPEAT", "2"))
-    best = None
-    for _ in range(repeat):
-        code = _CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
-                             n_files=n_files, events_path=events_path)
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True)
-        if out.returncode != 0:
-            raise RuntimeError(
-                f"scaling child (cpus={cpus}) failed rc={out.returncode}:"
-                f"\n{out.stderr[-4000:]}")
-        res = None
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                res = json.loads(line[len("RESULT "):])
-        if res is None:
-            raise RuntimeError(f"no RESULT line in output:\n{out.stdout}"
-                               f"\n{out.stderr[-2000:]}")
-        if best is None or res["replay_seconds"] < best["replay_seconds"]:
-            best = res
-    return best
+def run_once(cpus: int, sf_dir: str, n_files: int,
+             events_path: str) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
+                         n_files=n_files, events_path=events_path)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) failed rc={out.returncode}:"
+            f"\n{out.stderr[-4000:]}")
+    res = None
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[len("RESULT "):])
+    if res is None:
+        raise RuntimeError(f"no RESULT line in output:\n{out.stdout}"
+                           f"\n{out.stderr[-2000:]}")
+    return res
 
 
 def main() -> None:
@@ -94,14 +85,23 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     shared = tempfile.mkdtemp(prefix="grate-scaling-events-", dir=base)
     events_path = os.path.join(shared, "events.parquet")
+    repeat = int(os.environ.get("GRATE_SCALING_REPEAT", "3"))
+    samples: dict[int, list] = {low_cpus: [], high_cpus: []}
     try:
         # first child materializes the log; every later run (both
-        # levels, all repeats) replays the SAME parquet bytes
-        low = run_level(low_cpus, sf_dir, n_files, events_path)
-        high = run_level(high_cpus, sf_dir, n_files, events_path)
+        # levels, all repeats) replays the SAME parquet bytes.
+        # Levels are INTERLEAVED so sandbox-VM noise epochs (multi-x
+        # throttling swings) hit both levels, and best-of-N per level
+        # estimates the machine-independent cost.
+        for _rep in range(repeat):
+            for cpus in (low_cpus, high_cpus):
+                samples[cpus].append(
+                    run_once(cpus, sf_dir, n_files, events_path))
     finally:
         import shutil
         shutil.rmtree(shared, ignore_errors=True)
+    low = min(samples[low_cpus], key=lambda r: r["replay_seconds"])
+    high = min(samples[high_cpus], key=lambda r: r["replay_seconds"])
 
     speedup = low["replay_seconds"] / high["replay_seconds"]
     efficiency = speedup / (high_cpus / low_cpus)
@@ -114,6 +114,8 @@ def main() -> None:
         f"local[{low_cpus}]": low,
         f"local[{high_cpus}]": high,
         "speedup_4x_cores": round(speedup, 3),
+        "samples": {str(c): [r["replay_seconds"] for r in rs]
+                    for c, rs in samples.items()},
     }
     print(json.dumps(out))
 
@@ -134,7 +136,11 @@ def main() -> None:
             f"{high['replay_seconds']} |\n\n"
             f"speedup at 4x cores: **{round(speedup, 3)}x** -> scaling "
             f"efficiency **{round(efficiency, 3)}** "
-            f"(target >= 0.8)\n")
+            f"(target >= 0.8)\n\n"
+            f"raw replay_seconds samples (interleaved, best-of-"
+            f"{len(samples[low_cpus])} per level): "
+            f"local[{low_cpus}]={[r['replay_seconds'] for r in samples[low_cpus]]}, "
+            f"local[{high_cpus}]={[r['replay_seconds'] for r in samples[high_cpus]]}\n")
 
 
 if __name__ == "__main__":

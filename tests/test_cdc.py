@@ -506,3 +506,18 @@ def test_marker_growth_switches_to_shuffle_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_replay_window_fallback_matches_broadcast_path(spark, tmp_path):
+    """The large-batch fallback (full-row latest-wins window) must
+    produce the identical final state as the broadcast-winners path."""
+    events = synthetic_doc_events(spark, SF)
+    p1 = CdcPipeline(spark, str(tmp_path / "l1"), n_buckets=4,
+                     wide_view=False)  # broadcast path (default budget)
+    p1.replay(events, batch_size=None)
+    p2 = CdcPipeline(spark, str(tmp_path / "l2"), n_buckets=4,
+                     wide_view=False, broadcast_winners_max=0)  # window
+    p2.replay(events, batch_size=None)
+    f1 = state_fingerprint(p1.results())
+    f2 = state_fingerprint(p2.results())
+    assert f1 == f2
