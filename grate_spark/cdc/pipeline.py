@@ -113,6 +113,7 @@ class CdcPipeline:
             from .lake import _bucket_expr
             part_rows = (batch.groupBy("partition")
                          .agg(F.count("*").alias("n"),
+                              F.countDistinct("offset").alias("n_offsets"),
                               F.min("offset").alias("min_offset"),
                               F.max("offset").alias("max_offset"),
                               F.collect_set(_bucket_expr(
@@ -121,6 +122,12 @@ class CdcPipeline:
                          .orderBy("partition").collect())
             _mark("part stats")
             n_events = sum(r["n"] for r in part_rows)
+            # duplicate delivery of the SAME offset inside one batch
+            # would make the winners semi-join extract a blob twice;
+            # detected here for free, such a batch takes the window
+            # path, whose row_number drops exact duplicates
+            has_dup_offsets = (
+                sum(r["n_offsets"] for r in part_rows) != n_events)
             if n_events == 0:
                 return {"batch_id": batch_id, "n_events": 0,
                         "committed": False, "lo": lo, "hi": hi}
@@ -132,7 +139,8 @@ class CdcPipeline:
 
             win_iu = winners.filter(F.col("op") != "D") \
                 .select("repo", "path", "offset")
-            if n_events <= self.broadcast_winners_max:
+            if n_events <= self.broadcast_winners_max \
+                    and not has_dup_offsets:
                 # broadcast semi-join selects the winning blob rows
                 # straight off the scan: NO shuffle of blob payloads at
                 # all — extraction parallelism is the scan's split

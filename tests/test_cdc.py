@@ -521,3 +521,21 @@ def test_replay_window_fallback_matches_broadcast_path(spark, tmp_path):
     f1 = state_fingerprint(p1.results())
     f2 = state_fingerprint(p2.results())
     assert f1 == f2
+
+
+def test_duplicate_offset_delivery_extracts_once(spark, tmp_path):
+    """Redelivery of the SAME offset inside one batch must not double
+    rows: the part-stats dup detector routes the batch to the window
+    path, whose row_number keeps one copy."""
+    rows = [(1, 0, "I", "r", "a.csv", "c1", "csv", "x,y\n1,2"),
+            (1, 0, "I", "r", "a.csv", "c1", "csv", "x,y\n1,2"),  # dup
+            (2, 0, "I", "r", "b.csv", "c2", "csv", "x\n9")]
+    events = spark.createDataFrame(
+        rows, "offset bigint, partition int, op string, repo string, "
+              "path string, commit string, lang string, content string")
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=2,
+                       wide_view=False)
+    pipe.replay(events, batch_size=None)
+    got = pipe.results().filter(F.col("path") == "a.csv").collect()
+    keys = [(r["sheet"], r["row_id"]) for r in got]
+    assert len(keys) == len(set(keys)), f"duplicated rows: {keys}"
