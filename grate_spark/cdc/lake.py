@@ -381,7 +381,8 @@ class Transaction:
         # at low parallelism, no idle cores at high
         n_buckets_out = max(len(buckets or []) or nb, 1)
         par = self.cat.spark.sparkContext.defaultParallelism
-        k = max(1, min(n_buckets_out, 2 * par))
+        k = int(os.environ.get("GRATE_WRITE_TASKS", "0")) \
+            or max(1, min(n_buckets_out, 2 * par))
         (out.repartition(k, "_bucket")
             .write.partitionBy("_bucket").mode("overwrite").parquet(full))
         files: dict[str, list[dict]] = {}

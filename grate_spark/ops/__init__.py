@@ -9,9 +9,9 @@ binary-column plumbing.
 
 Every operator is expressed with Catalyst-evaluable built-ins (higher-
 order array functions, window, joins) so plans stay in whole-stage
-codegen; the only Python is the multimodal Arrow UDF, whose decode step
-is stubbed (no media libs in this container) but whose Spark plumbing is
-real. Cross-engine determinism for the DuckDB oracles comes from one
+codegen; the only Python is the multimodal Arrow UDF. BMP/PNG/WAV
+decode is real (pure-stdlib, operators/media_codecs.py); codec-library
+formats (JPEG/MP3/video) stay stubbed — those libs are absent here. Cross-engine determinism for the DuckDB oracles comes from one
 shared hash primitive: ``bigint(hex(md5(seed|value))[0:15])``, identical
 in Spark (`conv`) and DuckDB (`'0x' cast`).
 """

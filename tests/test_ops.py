@@ -31,14 +31,21 @@ def test_shingles_cross_engine(spark, duck):
     assert got == want == ["a b c", "b c d", "c d e"]
 
 
-def test_multimodal_decode_stubs_raise():
+def test_multimodal_decode_dispatch():
+    """BMP/PNG/WAV decode natively (test_media.py); codec-library
+    formats raise NotImplementedError; junk raises MediaDecodeError."""
     from grate_spark.operators import multimodal as mm
+    from grate_spark.operators.media_codecs import MediaDecodeError
 
-    for fn in (mm.decode_image, mm.decode_audio):
-        with pytest.raises(NotImplementedError):
-            fn(b"\x00\x01")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04mp3")
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(b"\x00", every_n=2)
+    for fn in (mm.decode_image, mm.decode_audio):
+        with pytest.raises(MediaDecodeError):
+            fn(b"\x00\x01")
 
 
 def test_multimodal_feature_batch_shape(spark):
