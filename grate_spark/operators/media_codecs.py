@@ -220,3 +220,21 @@ def encode_png(img: np.ndarray) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24/32-bit BMP encoder (BGR(A), bottom-up, padded rows);
+    round-trips through decode_bmp."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    if ch not in (3, 4):
+        raise MediaDecodeError("bmp encode: need 3 or 4 channels")
+    bgr = img[..., [2, 1, 0] + ([3] if ch == 4 else [])]
+    stride = (w * ch + 3) & ~3
+    rows = b"".join(
+        bgr[y].tobytes() + b"\x00" * (stride - w * ch)
+        for y in range(h - 1, -1, -1))
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, ch * 8, 0,
+                       len(rows), 2835, 2835, 0, 0)
+    return hdr + info + rows

@@ -492,6 +492,115 @@ ORDER BY media_id
 """
 
 
+def image_features(spark, sf):
+    """Real image-decode path under the oracle: deterministic 8x4 RGB
+    BMPs are built from each document's utf-8 bytes (cycled to 96 px
+    bytes), decoded by the pure-stdlib BMP decoder inside the Arrow UDF
+    (operators/media_codecs.py), and the features must equal what
+    DuckDB computes directly from the same byte construction."""
+    from grate_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 64)
+
+    @F.pandas_udf("binary")
+    def to_bmp(texts):
+        import numpy as np
+        import pandas as pd
+
+        from grate_spark.operators.media_codecs import encode_bmp
+
+        out = []
+        for t in texts:
+            raw = t.encode("utf-8")
+            px = (raw * (96 // len(raw) + 1))[:96]
+            img = np.frombuffer(px, dtype=np.uint8).reshape(4, 8, 3)
+            out.append(encode_bmp(img))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        to_bmp("text").alias("payload"))
+    return (extract_image_features(media)
+            .select("media_id", "width", "height", "channels",
+                    F.round("mean_luma", 4).alias("mean_luma"))
+            .orderBy("media_id"))
+
+
+IMAGE_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 64
+)
+SELECT media_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(list_aggregate(list_transform(range(96),
+         i -> CAST(('0x' || substr(hx, 2 * (CAST(i AS INT) % n) + 1, 2))
+              AS INT)), 'avg'), 4) AS mean_luma
+FROM b ORDER BY media_id
+"""
+
+
+def audio_features(spark, sf):
+    """Real audio-decode path under the oracle: deterministic mono PCM
+    WAVs are built from each document's utf-8 bytes reinterpreted as 64
+    little-endian int16 samples at 8 kHz, decoded by the stdlib WAV
+    decoder, and rate/shape/rms must equal DuckDB's direct computation
+    over the same bytes."""
+    from grate_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 64)
+
+    @F.pandas_udf("binary")
+    def to_wav(texts):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            raw = t.encode("utf-8")
+            data = (raw * (128 // len(raw) + 1))[:128]
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                    + fmt + b"data" + struct.pack("<I", len(data))
+                    + data)
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        to_wav("text").alias("payload"))
+    return (extract_audio_features(media)
+            .select("media_id", "sample_rate", "n_samples", "n_channels",
+                    F.round("duration_sec", 4).alias("duration_sec"),
+                    F.round("rms", 4).alias("rms"))
+            .orderBy("media_id"))
+
+
+AUDIO_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 64
+), s AS (
+  SELECT media_id,
+         list_transform(range(64), i ->
+           CAST(('0x'
+             || substr(hx, 2 * ((2 * CAST(i AS INT) + 1) % n) + 1, 2)
+             || substr(hx, 2 * ((2 * CAST(i AS INT)) % n) + 1, 2))
+            AS INT)) AS u16
+  FROM b
+)
+SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples, CAST(1 AS INT) AS n_channels,
+       round(64.0 / 8000, 4) AS duration_sec,
+       round(sqrt(list_aggregate(list_transform(u16,
+         x -> CAST(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END
+              AS DOUBLE) ** 2), 'avg')), 4) AS rms
+FROM s ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -523,6 +632,8 @@ def _training_data_queries() -> dict:
                              text.DOC_FINGERPRINTS_SQL),
         "multimodal_features": (multimodal_features,
                                 MULTIMODAL_FEATURES_SQL),
+        "image_features": (image_features, IMAGE_FEATURES_SQL),
+        "audio_features": (audio_features, AUDIO_FEATURES_SQL),
         "extract_typed_scan": (extract_typed_scan,
                                EXTRACT_TYPED_SCAN_SQL),
         "cdc_replay_state": (cdc_replay_state, CDC_REPLAY_STATE_SQL),
