@@ -359,11 +359,15 @@ class Transaction:
                         schema: StructType,
                         buckets: list[int] | None,
                         extra_cols: tuple[str, ...] = (),
-                        align_schema: bool = True
+                        align_schema: bool = True,
+                        pre_partitioned: bool = False
                         ) -> dict[str, list[dict]]:
         """Write df (aligned to schema + passthrough extras) partitioned
         by bucket; returns {bucket: [file entries]}. ``buckets`` limits
-        output to the touched set (None = all)."""
+        output to the touched set (None = all). ``pre_partitioned``: the
+        caller already clustered rows by the bucket key (e.g. blobs were
+        exchanged on the bucket BEFORE extraction, so the extracted rows
+        inherit it) — write in place, no second shuffle."""
         key_cols = tuple(t["key_cols"])
         nb = t["n_buckets"]
         if align_schema:
@@ -375,16 +379,17 @@ class Transaction:
             out = out.filter(F.col("_bucket").isin(buckets))
         rel = self._stage_dir(table)
         full = os.path.join(self.cat.root, rel)
-        # hash-repartition by bucket: several buckets may share a task
-        # (partitionBy still yields one file per bucket per task), so
-        # task count tracks cores, not bucket count — no tiny-file waves
-        # at low parallelism, no idle cores at high
-        n_buckets_out = max(len(buckets or []) or nb, 1)
-        par = self.cat.spark.sparkContext.defaultParallelism
-        k = int(os.environ.get("GRATE_WRITE_TASKS", "0")) \
-            or max(1, min(n_buckets_out, 2 * par))
-        (out.repartition(k, "_bucket")
-            .write.partitionBy("_bucket").mode("overwrite").parquet(full))
+        if not pre_partitioned:
+            # hash-repartition by bucket: several buckets may share a
+            # task (partitionBy still yields one file per bucket per
+            # task), so task count tracks cores, not bucket count — no
+            # tiny-file waves at low parallelism, no idle cores at high
+            n_buckets_out = max(len(buckets or []) or nb, 1)
+            par = self.cat.spark.sparkContext.defaultParallelism
+            k = int(os.environ.get("GRATE_WRITE_TASKS", "0")) \
+                or max(1, min(n_buckets_out, 2 * par))
+            out = out.repartition(k, "_bucket")
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(full)
         files: dict[str, list[dict]] = {}
         sid = t["schema_id"]
         for entry in sorted(os.listdir(full)):
@@ -458,7 +463,8 @@ class Transaction:
                            delete_keys: DataFrame,
                            key_cols: tuple[str, ...],
                            n_buckets: int = 32,
-                           touched: list[int] | None = None) -> dict:
+                           touched: list[int] | None = None,
+                           pre_partitioned: bool = False) -> dict:
         """The MERGE/upsert, merge-on-read: atomically replace every row
         whose merge key appears in ``delete_keys`` with the rows of
         ``new_rows`` (keys not previously present are plain inserts).
@@ -492,7 +498,8 @@ class Transaction:
         data = _align(new_rows, schema).withColumn(
             "_seq", F.lit(seq).cast("long"))
         files = self._write_bucketed(name, t, data, schema, touched,
-                                     extra_cols=("_seq",))
+                                     extra_cols=("_seq",),
+                                     pre_partitioned=pre_partitioned)
         for b, fs in files.items():
             t["files"].setdefault(b, []).extend(fs)
 

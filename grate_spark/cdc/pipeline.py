@@ -58,7 +58,8 @@ class CdcPipeline:
     def __init__(self, spark: SparkSession, lake_root: str,
                  n_buckets: int = 32, n_partitions: int | None = None,
                  wide_view: bool = True,
-                 broadcast_winners_max: int = 1_000_000):
+                 broadcast_winners_max: int = 1_000_000,
+                 bucket_blobs: bool | None = None):
         self.spark = spark
         self.lake = LakeCatalog(spark, lake_root)
         self.n_buckets = n_buckets
@@ -66,6 +67,17 @@ class CdcPipeline:
             spark.sparkContext.defaultParallelism)
         self.wide_view = wide_view
         self.force_repartition = n_partitions is not None
+        # bucket_blobs: exchange the (smaller) winning BLOBS on the merge
+        # bucket BEFORE extraction instead of exchanging the (larger)
+        # extracted rows after it — extraction and the parquet encode
+        # fuse into ONE stage (no barrier, no row-shuffle serialization).
+        # Best when rows expand past blob size (spreadsheets); the
+        # per-bucket granularity is coarser, so keep the default row
+        # exchange when batches are tiny relative to bucket count.
+        import os as _os
+        if bucket_blobs is None:
+            bucket_blobs = _os.environ.get("GRATE_BUCKET_BLOBS") == "1"
+        self.bucket_blobs = bucket_blobs
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are
         # NEVER shuffled; bigger batches fall back to the full-row
@@ -164,7 +176,18 @@ class CdcPipeline:
                                       "content", "offset")
             shuffle_parts = int(self.spark.conf.get(
                 "spark.sql.shuffle.partitions"))
-            if self.force_repartition and self.n_partitions != shuffle_parts:
+            bucket_blobs = self.bucket_blobs
+            if bucket_blobs:
+                # cluster blobs on the merge bucket now so the extracted
+                # rows are born bucket-partitioned and the MoR write
+                # needs no exchange of its own (extract -> encode fuse)
+                par = self.spark.sparkContext.defaultParallelism
+                k = int(_os.environ.get("GRATE_WRITE_TASKS", "0")) \
+                    or max(1, min(len(touched), 2 * par))
+                blobs = blobs.repartition(
+                    k, _bucket_expr(MERGE_KEY, self.n_buckets))
+            elif self.force_repartition \
+                    and self.n_partitions != shuffle_parts:
                 blobs = blobs.repartition(self.n_partitions,
                                           "repo", "path")
             rows = with_content_sha(extract_files(blobs))
@@ -192,7 +215,8 @@ class CdcPipeline:
             all_keys = winners.select("repo", "path")
             stats = txn.merge_replace_keys(RESULTS_TABLE, rows, all_keys,
                                            MERGE_KEY, self.n_buckets,
-                                           touched=touched)
+                                           touched=touched,
+                                           pre_partitioned=bucket_blobs)
             _mark("merge results (extraction fused)")
 
             # the merge's write action completed, so the observed
