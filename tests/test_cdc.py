@@ -539,3 +539,20 @@ def test_duplicate_offset_delivery_extracts_once(spark, tmp_path):
     got = pipe.results().filter(F.col("path") == "a.csv").collect()
     keys = [(r["sheet"], r["row_id"]) for r in got]
     assert len(keys) == len(set(keys)), f"duplicated rows: {keys}"
+
+
+def test_replay_bucket_blobs_mode_equivalence(spark, tmp_path):
+    """The bucket_blobs plan (blobs exchanged on the merge bucket before
+    extraction, write without a row shuffle) must converge to the exact
+    state of the default plan (row exchange after extraction)."""
+    events = fixture_events(spark)
+    default = CdcPipeline(spark, str(tmp_path / "row"), n_buckets=8,
+                          wide_view=False)
+    default.replay(events)
+    fused = CdcPipeline(spark, str(tmp_path / "blob"), n_buckets=8,
+                        wide_view=False, bucket_blobs=True)
+    fused.replay(events)
+    cols = ["repo", "path", "sheet", "row_id", "cells", "content_sha256",
+            "error"]
+    assert state_fingerprint(default.results(), cols) == \
+        state_fingerprint(fused.results(), cols)

@@ -129,3 +129,26 @@ def test_dedup_reuses_signature_exchange(spark):
     plan = simple_plan(df)
     assert "ReusedExchange" in plan, \
         "minhash signatures recomputed per join side"
+
+
+def test_bucket_blobs_fuses_extract_into_write(spark):
+    """bucket_blobs plan shape: the ONLY exchange is of blobs, below the
+    extraction UDF — extracted rows flow to the writer with no second
+    shuffle (the barrier-free extract->encode fuse)."""
+    from pyspark.sql import functions as F
+    from grate_spark.cdc.events import doc_csv_blobs
+    from grate_spark.cdc.lake import _bucket_expr
+    from grate_spark.operators.extraction import extract_files
+
+    blobs = doc_csv_blobs(spark, SF, version=1) \
+        .repartition(4, _bucket_expr(("repo", "path"), 8))
+    rows = extract_files(blobs).withColumn(
+        "_bucket", _bucket_expr(("repo", "path"), 8))
+    plan = simple_plan(rows)
+    above_udf = plan[:plan.index("MapInPandas")]
+    assert "Exchange" not in above_udf, \
+        "exchange sits above the extraction UDF (rows reshuffled):\n" + plan
+    # and the blob exchange below it is the bucket one
+    below_udf = plan[plan.index("MapInPandas"):]
+    assert re.search(r"Exchange hashpartitioning\(cast\(pmod", below_udf), \
+        plan
