@@ -47,6 +47,10 @@ def run_replay_bench(spark, sf_dir: str) -> dict:
         from grate_spark.cdc.bench import replay_events_per_sec
     except ImportError:
         return {}
+    # untimed warmup on a tiny log: JIT/codegen for the extract+merge
+    # path, so the timed replay measures steady-state ingest throughput
+    replay_events_per_sec(spark, sf_dir, n_files=300, rows_per_file=20,
+                          n_batches=1)
     return replay_events_per_sec(spark, sf_dir)
 
 

@@ -67,16 +67,19 @@ class CdcPipeline:
             spark.sparkContext.defaultParallelism)
         self.wide_view = wide_view
         self.force_repartition = n_partitions is not None
-        # bucket_blobs: exchange the (smaller) winning BLOBS on the merge
-        # bucket BEFORE extraction instead of exchanging the (larger)
+        # bucket_blobs (default ON): exchange the winning BLOBS on the
+        # merge bucket BEFORE extraction instead of exchanging the
         # extracted rows after it — extraction and the parquet encode
-        # fuse into ONE stage (no barrier, no row-shuffle serialization).
-        # Best when rows expand past blob size (spreadsheets); the
-        # per-bucket granularity is coarser, so keep the default row
-        # exchange when batches are tiny relative to bucket count.
+        # fuse into ONE stage: no barrier (the write starts as soon as
+        # any bucket's blobs are extracted, not after the slowest), no
+        # row-shuffle serialization, trivial dynamic-partition sort
+        # (one bucket per task), and the encode overlaps the UDF's
+        # Python wait instead of bursting all writers at once.
+        # Measured (interleaved A/B, 15k-file xlsx batch): ~20% faster
+        # at local[8], parity-to-faster at local[2], identical state.
         import os as _os
         if bucket_blobs is None:
-            bucket_blobs = _os.environ.get("GRATE_BUCKET_BLOBS") == "1"
+            bucket_blobs = _os.environ.get("GRATE_BUCKET_BLOBS", "1") == "1"
         self.bucket_blobs = bucket_blobs
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are
@@ -180,10 +183,13 @@ class CdcPipeline:
             if bucket_blobs:
                 # cluster blobs on the merge bucket now so the extracted
                 # rows are born bucket-partitioned and the MoR write
-                # needs no exchange of its own (extract -> encode fuse)
-                par = self.spark.sparkContext.defaultParallelism
+                # needs no exchange of its own (extract -> encode fuse).
+                # One task per touched bucket: the finest granularity the
+                # bucket key permits (a bucket is indivisible here), and
+                # exactly the write fan-out — more tasks would idle,
+                # fewer would serialize buckets behind each other.
                 k = int(_os.environ.get("GRATE_WRITE_TASKS", "0")) \
-                    or max(1, min(len(touched), 2 * par))
+                    or max(1, len(touched))
                 blobs = blobs.repartition(
                     k, _bucket_expr(MERGE_KEY, self.n_buckets))
             elif self.force_repartition \
