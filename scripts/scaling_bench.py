@@ -46,12 +46,39 @@ finally:
 """
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal is
+    the direct signature of a noisy co-tenant on this VM."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _ctrl_score(seconds: float = 1.5) -> float:
+    """Single-core Miter/s control: machine speed right now, measured
+    the same way before every sample so throttled epochs are visible."""
+    import time
+    n = 0
+    x = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(100_000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        n += 100_000
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
 def run_once(cpus: int, sf_dir: str, n_files: int,
              events_path: str) -> dict:
     code = _CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
                          n_files=n_files, events_path=events_path)
+    ctrl = _ctrl_score()
+    s0, t0 = _cpu_stat()
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True)
+    s1, t1 = _cpu_stat()
     if out.returncode != 0:
         raise RuntimeError(
             f"scaling child (cpus={cpus}) failed rc={out.returncode}:"
@@ -63,6 +90,8 @@ def run_once(cpus: int, sf_dir: str, n_files: int,
     if res is None:
         raise RuntimeError(f"no RESULT line in output:\n{out.stdout}"
                            f"\n{out.stderr[-2000:]}")
+    res["ctrl_miters"] = ctrl
+    res["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     return res
 
 
@@ -128,6 +157,13 @@ def main() -> None:
         "paired_median": med,
         "samples": {str(c): [r["replay_seconds"] for r in rs]
                     for c, rs in samples.items()},
+        # per-sample machine state: single-core control (Miter/s) taken
+        # just before the sample + hypervisor steal% during it — the
+        # honest filter for this VM's multi-x noise epochs
+        "sample_meta": {str(c): [
+            {"sec": r["replay_seconds"], "ctrl": r.get("ctrl_miters"),
+             "steal_pct": r.get("steal_pct")} for r in rs]
+            for c, rs in samples.items()},
     }
     print(json.dumps(out))
 
@@ -151,6 +187,8 @@ def main() -> None:
             f"(target >= 0.8)\n\n"
             f"per-rep paired efficiencies (same noise epoch hits both "
             f"levels): {pair_effs}, median **{med}**\n\n"
+            f"per-sample machine state (ctrl Miter/s, hypervisor "
+            f"steal%): {out['sample_meta']}\n\n"
             f"raw replay_seconds samples (interleaved, best-of-"
             f"{len(samples[low_cpus])} per level): "
             f"local[{low_cpus}]={[r['replay_seconds'] for r in samples[low_cpus]]}, "
