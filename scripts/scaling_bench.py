@@ -167,7 +167,9 @@ def main() -> None:
     }
     print(json.dumps(out))
 
-    md = os.path.join(REPO, "BENCH_SCALING.md")
+    # machine-written latest-run record; the curated analysis (throttle
+    # ladder, stage breakdown, run history) lives in BENCH_SCALING.md
+    md = os.path.join(REPO, "BENCH_SCALING_LATEST.md")
     with open(md, "w") as f:
         f.write(
             "# Latest end-to-end scaling study output (see BENCH.md "
