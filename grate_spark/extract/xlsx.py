@@ -67,6 +67,9 @@ def col2int(col: str) -> int:
 
 
 _DIGITS = "0123456789"
+# column-letters -> 0-based index memo (A=0, AA=26); bounded by the
+# number of distinct columns ever seen in a worker (< 16 384)
+_COL_CACHE: dict = {}
 
 
 def ref_to_indexes(r: str) -> tuple[int, int]:
@@ -250,21 +253,43 @@ class _Workbook:
         return ws
 
     def _handle_cell(self, ws: Sheet, el) -> None:
-        # value chunks first: style-only cells exit before attr work
-        chunks = [t for t in el.itertext() if t is not None]
-        if not chunks:
-            return
+        # value chunks first: style-only cells exit before attr work.
+        # Fast path for the dominant shape <c ...><v>text</v></c>: the
+        # last CharData chunk is the child's tail, else its text, else
+        # the cell's own text — identical to itertext()'s last yield
+        # when the single child is leaf; anything else (inlineStr with
+        # nested runs, multiple children) takes the general path.
+        if len(el) == 1 and not len(el[0]):
+            sub = el[0]
+            chunk = sub.tail or sub.text or el.text
+            if not chunk:
+                return
+        else:
+            chunks = [t for t in el.itertext() if t is not None]
+            if not chunks:
+                return
+            # the reference Puts once per CharData chunk; last wins
+            chunk = chunks[-1]
         get = el.get
         ref = get("r", "")
         ctype = get("t", "") or "n"
         sid = _int(get("s", ""))
         fno = self.xfs[sid] if sid < len(self.xfs) else 0
 
-        col, row = ref_to_indexes(ref)
+        # A1-style fast path with a memoized column-letter decode
+        # (bounded: one entry per distinct column); R1C1/malformed refs
+        # fall back to the general parser
+        pre = ref.rstrip(_DIGITS)
+        if pre and len(pre) < len(ref) and pre.isalpha():
+            col = _COL_CACHE.get(pre)
+            if col is None:
+                col = col2int(pre)
+                _COL_CACHE[pre] = col
+            row = int(ref[len(pre):]) - 1
+        else:
+            col, row = ref_to_indexes(ref)
         if col < 0 or row < 0:
             return
-        # the reference Puts once per CharData chunk; last write wins
-        chunk = chunks[-1]
         val: object = chunk
         if ctype == "b":
             val = bool(chunk[:1] == "1")

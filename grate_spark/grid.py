@@ -73,11 +73,14 @@ class Sheet:
             self.rows[row][col] = c
             return
 
-        ct, ok = self.formatter.get_cell_type(fmtno)
-        if not ok or fmtno == 0:
+        if fmtno == 0:  # General — the dominant case, no type lookup
             c = new_cell(value)
         else:
-            c = new_cell_with_type(value, ct, self.formatter)
+            ct, ok = self.formatter.get_cell_type(fmtno)
+            if not ok:
+                c = new_cell(value)
+            else:
+                c = new_cell_with_type(value, ct, self.formatter)
         c.fmtno = fmtno
         self.rows[row][col] = c
 
