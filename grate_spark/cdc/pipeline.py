@@ -126,27 +126,34 @@ class CdcPipeline:
             # ONE driver action gives per-partition lineage, the event
             # count, and the touched-bucket set (shared by both merges)
             from .lake import _bucket_expr
-            part_rows = (batch.groupBy("partition")
-                         .agg(F.count("*").alias("n"),
-                              F.countDistinct("offset").alias("n_offsets"),
-                              F.min("offset").alias("min_offset"),
-                              F.max("offset").alias("max_offset"),
-                              F.collect_set(_bucket_expr(
-                                  MERGE_KEY, self.n_buckets))
-                              .alias("buckets"))
-                         .orderBy("partition").collect())
+            # rollup adds ONE grand-total row (grouping flag = 1) to the
+            # per-partition stats, so the GLOBAL countDistinct(offset) —
+            # which catches a duplicate offset redelivered under TWO
+            # different `partition` values, where summing per-partition
+            # distincts would not — rides the same single action
+            rolled = (batch.rollup("partition")
+                      .agg(F.count("*").alias("n"),
+                           F.countDistinct("offset").alias("n_offsets"),
+                           F.min("offset").alias("min_offset"),
+                           F.max("offset").alias("max_offset"),
+                           F.collect_set(_bucket_expr(
+                               MERGE_KEY, self.n_buckets))
+                           .alias("buckets"),
+                           F.grouping("partition").alias("_total"))
+                      .orderBy("partition").collect())
             _mark("part stats")
-            n_events = sum(r["n"] for r in part_rows)
+            total = next(r for r in rolled if r["_total"] == 1)
+            part_rows = [r for r in rolled if r["_total"] == 0]
+            n_events = total["n"]
             # duplicate delivery of the SAME offset inside one batch
             # would make the winners semi-join extract a blob twice;
             # detected here for free, such a batch takes the window
             # path, whose row_number drops exact duplicates
-            has_dup_offsets = (
-                sum(r["n_offsets"] for r in part_rows) != n_events)
+            has_dup_offsets = total["n_offsets"] != n_events
             if n_events == 0:
                 return {"batch_id": batch_id, "n_events": 0,
                         "committed": False, "lo": lo, "hi": hi}
-            touched = sorted({b for r in part_rows for b in r["buckets"]})
+            touched = sorted(set(total["buckets"]))
             part_stats = [{"partition": r["partition"], "n": r["n"],
                            "min_offset": r["min_offset"],
                            "max_offset": r["max_offset"]}

@@ -284,7 +284,11 @@ class _Workbook:
             col = _COL_CACHE.get(pre)
             if col is None:
                 col = col2int(pre)
-                _COL_CACHE[pre] = col
+                # only cache plausible Excel columns (max col XFD = 3
+                # letters): a malicious file with many long distinct
+                # prefixes must not grow worker memory unboundedly
+                if len(pre) <= 3:
+                    _COL_CACHE[pre] = col
             row = int(ref[len(pre):]) - 1
         else:
             col, row = ref_to_indexes(ref)

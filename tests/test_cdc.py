@@ -541,13 +541,32 @@ def test_duplicate_offset_delivery_extracts_once(spark, tmp_path):
     assert len(keys) == len(set(keys)), f"duplicated rows: {keys}"
 
 
+def test_duplicate_offset_across_partitions_extracts_once(spark, tmp_path):
+    """The same offset redelivered under TWO different `partition`
+    values must still be detected (global countDistinct via rollup, not
+    a sum of per-partition distincts) and routed to the window path."""
+    rows = [(1, 0, "I", "r", "a.csv", "c1", "csv", "x,y\n1,2"),
+            (1, 1, "I", "r", "a.csv", "c1", "csv", "x,y\n1,2"),  # dup, other partition
+            (2, 0, "I", "r", "b.csv", "c2", "csv", "x\n9")]
+    events = spark.createDataFrame(
+        rows, "offset bigint, partition int, op string, repo string, "
+              "path string, commit string, lang string, content string")
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=2,
+                       wide_view=False)
+    pipe.replay(events, batch_size=None)
+    got = pipe.results().filter(F.col("path") == "a.csv").collect()
+    keys = [(r["sheet"], r["row_id"]) for r in got]
+    assert len(keys) == len(set(keys)), f"duplicated rows: {keys}"
+
+
 def test_replay_bucket_blobs_mode_equivalence(spark, tmp_path):
     """The bucket_blobs plan (blobs exchanged on the merge bucket before
     extraction, write without a row shuffle) must converge to the exact
     state of the default plan (row exchange after extraction)."""
     events = fixture_events(spark)
     default = CdcPipeline(spark, str(tmp_path / "row"), n_buckets=8,
-                          wide_view=False)
+                          wide_view=False, bucket_blobs=False)
+    assert not default.bucket_blobs  # genuine row-exchange baseline
     default.replay(events)
     fused = CdcPipeline(spark, str(tmp_path / "blob"), n_buckets=8,
                         wide_view=False, bucket_blobs=True)
