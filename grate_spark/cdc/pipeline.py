@@ -59,7 +59,8 @@ class CdcPipeline:
                  n_buckets: int = 32, n_partitions: int | None = None,
                  wide_view: bool = True,
                  broadcast_winners_max: int = 1_000_000,
-                 bucket_blobs: bool | None = None):
+                 bucket_blobs: bool | None = None,
+                 salt_buckets: bool | None = None):
         self.spark = spark
         self.lake = LakeCatalog(spark, lake_root)
         self.n_buckets = n_buckets
@@ -81,12 +82,40 @@ class CdcPipeline:
         if bucket_blobs is None:
             bucket_blobs = _os.environ.get("GRATE_BUCKET_BLOBS", "1") == "1"
         self.bucket_blobs = bucket_blobs
+        # salt_buckets (default ON): sub-split merge buckets whose event
+        # count exceeds an even per-core share of the batch, using a
+        # per-bucket path-hash salt in the fused exchange (see
+        # _salt_plan). Off -> one task per touched bucket, always.
+        if salt_buckets is None:
+            salt_buckets = _os.environ.get("GRATE_SALT_BUCKETS", "1") == "1"
+        self.salt_buckets = salt_buckets
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are
         # NEVER shuffled; bigger batches fall back to the full-row
         # latest-wins window (one co-partitioned blob shuffle)
         self.broadcast_winners_max = broadcast_winners_max
         self._pending_metrics: list[tuple] = []
+
+    def _salt_plan(self, bucket_counts: dict[int, int],
+                   n_events: int) -> dict[int, int]:
+        """Sub-split factor per touched bucket for the fused
+        extract->write exchange.
+
+        A merge bucket is the natural write grain (one task, one file),
+        but it is NOT indivisible for the exchange: a skewed batch — a
+        hot repo whose files all hash to one bucket — would serialize
+        the whole extract+encode behind a single task. Each bucket
+        whose raw event count exceeds an even per-core share of the
+        batch (`n_events / parallelism`) is split into
+        ``ceil(count / share)`` sub-parts (capped at the core count),
+        keyed by a path hash so a file's rows stay together. Uniform
+        batches with >= parallelism touched buckets get all-1s — the
+        exchange is exactly the old one-task-per-bucket plan."""
+        import math
+        par = max(1, self.n_partitions)
+        share = max(1.0, n_events / par)
+        return {b: min(par, max(1, math.ceil(cnt / share)))
+                for b, cnt in bucket_counts.items()}
 
     # -- one micro-batch -------------------------------------------------------
 
@@ -126,24 +155,35 @@ class CdcPipeline:
             # ONE driver action gives per-partition lineage, the event
             # count, and the touched-bucket set (shared by both merges)
             from .lake import _bucket_expr
-            # rollup adds ONE grand-total row (grouping flag = 1) to the
-            # per-partition stats, so the GLOBAL countDistinct(offset) —
-            # which catches a duplicate offset redelivered under TWO
-            # different `partition` values, where summing per-partition
-            # distincts would not — rides the same single action
-            rolled = (batch.rollup("partition")
-                      .agg(F.count("*").alias("n"),
-                           F.countDistinct("offset").alias("n_offsets"),
-                           F.min("offset").alias("min_offset"),
-                           F.max("offset").alias("max_offset"),
-                           F.collect_set(_bucket_expr(
-                               MERGE_KEY, self.n_buckets))
-                           .alias("buckets"),
-                           F.grouping("partition").alias("_total"))
-                      .orderBy("partition").collect())
+            # grouping sets {(partition), (_b), ()} make ONE action
+            # yield all three stat levels the batch needs:
+            #   (partition) -> per-partition lineage,
+            #   (_b)        -> per-BUCKET event counts (touched set +
+            #                  the skew signal the salt plan reads),
+            #   ()          -> the GLOBAL countDistinct(offset), which
+            #                  catches a duplicate offset redelivered
+            #                  under TWO different `partition` values —
+            #                  summing per-partition distincts would not
+            rolled = (batch.withColumn(
+                "_b", _bucket_expr(MERGE_KEY, self.n_buckets))
+                .groupingSets([["partition"], ["_b"], []],
+                              "partition", "_b")
+                .agg(F.count("*").alias("n"),
+                     F.countDistinct("offset").alias("n_offsets"),
+                     F.min("offset").alias("min_offset"),
+                     F.max("offset").alias("max_offset"),
+                     F.grouping("partition").alias("_gp"),
+                     F.grouping("_b").alias("_gb"))
+                .collect())
             _mark("part stats")
-            total = next(r for r in rolled if r["_total"] == 1)
-            part_rows = [r for r in rolled if r["_total"] == 0]
+            total = next(r for r in rolled
+                         if r["_gp"] == 1 and r["_gb"] == 1)
+            part_rows = sorted((r for r in rolled if r["_gp"] == 0),
+                               key=lambda r: r["partition"])
+            # raw event count per bucket (deletes/duplicates included —
+            # an upper-bound proxy for per-bucket extraction work)
+            bucket_counts = {int(r["_b"]): r["n"] for r in rolled
+                             if r["_gb"] == 0 and r["_gp"] == 1}
             n_events = total["n"]
             # duplicate delivery of the SAME offset inside one batch
             # would make the winners semi-join extract a blob twice;
@@ -153,7 +193,7 @@ class CdcPipeline:
             if n_events == 0:
                 return {"batch_id": batch_id, "n_events": 0,
                         "committed": False, "lo": lo, "hi": hi}
-            touched = sorted(set(total["buckets"]))
+            touched = sorted(bucket_counts)
             part_stats = [{"partition": r["partition"], "n": r["n"],
                            "min_offset": r["min_offset"],
                            "max_offset": r["max_offset"]}
@@ -191,14 +231,30 @@ class CdcPipeline:
                 # cluster blobs on the merge bucket now so the extracted
                 # rows are born bucket-partitioned and the MoR write
                 # needs no exchange of its own (extract -> encode fuse).
-                # One task per touched bucket: the finest granularity the
-                # bucket key permits (a bucket is indivisible here), and
-                # exactly the write fan-out — more tasks would idle,
-                # fewer would serialize buckets behind each other.
-                k = int(_os.environ.get("GRATE_WRITE_TASKS", "0")) \
-                    or max(1, len(touched))
-                blobs = blobs.repartition(
-                    k, _bucket_expr(MERGE_KEY, self.n_buckets))
+                # Base grain is one task per touched bucket; buckets
+                # whose event count exceeds an even per-core share are
+                # SUB-SPLIT with a per-bucket path salt, so a skewed
+                # batch (one hot repo -> one bucket) no longer
+                # serializes extraction+write behind a single task.
+                # partitionBy("_bucket") still yields one file per
+                # bucket PER TASK, so a salted bucket lands as n_sub
+                # files — the manifest already supports that.
+                bexpr = _bucket_expr(MERGE_KEY, self.n_buckets)
+                n_sub = self._salt_plan(bucket_counts, n_events) \
+                    if self.salt_buckets else {}
+                k_env = int(_os.environ.get("GRATE_WRITE_TASKS", "0"))
+                if any(s > 1 for s in n_sub.values()):
+                    pairs = [x for b, s in n_sub.items() if s > 1
+                             for x in (F.lit(b), F.lit(s))]
+                    mod = F.coalesce(
+                        F.element_at(F.create_map(*pairs), bexpr),
+                        F.lit(1))
+                    salt = F.pmod(F.xxhash64(F.col("path")), mod)
+                    k = k_env or sum(n_sub.values())
+                    blobs = blobs.repartition(k, bexpr, salt)
+                else:
+                    k = k_env or max(1, len(touched))
+                    blobs = blobs.repartition(k, bexpr)
             elif self.force_repartition \
                     and self.n_partitions != shuffle_parts:
                 blobs = blobs.repartition(self.n_partitions,
