@@ -5,13 +5,17 @@ Iceberg runtime jars, so the same commit semantics are implemented
 directly (and documented where each piece maps onto Iceberg for the
 cluster deployment):
 
-- **snapshot isolation / atomic multi-table commit**: a JSON manifest
-  under ``_commits/`` lists every live data file of every table plus the
-  replay checkpoint and lineage. A transaction stages parquet files, then
-  publishes ONE new manifest via atomic hard-link creation (fails if the
-  version already exists -> optimistic concurrency). Data+offsets commit
-  together, so re-applying a batch after any crash is a no-op.
-  [Iceberg: single transaction / WAP + snapshot metadata]
+- **snapshot isolation / atomic multi-table commit**: a small ROOT
+  manifest under ``_commits/`` holds per-table schemas, marker entries,
+  the replay checkpoint, lineage, and per-bucket POINTERS to immutable
+  shard JSONs (``_commits/shards/``) that carry the actual file lists —
+  the flat-file analog of Iceberg's manifest list. A transaction stages
+  parquet files and one new shard per touched bucket, then publishes ONE
+  new root via atomic hard-link creation (fails if the version already
+  exists -> optimistic concurrency). Commit metadata is O(touched
+  buckets), never O(total live files); data+offsets commit together, so
+  re-applying a batch after any crash is a no-op.
+  [Iceberg: single transaction / WAP + snapshot metadata + manifest list]
 - **key-partitioned MERGE, merge-on-read**: tables are hash-bucketed on
   their merge key. A merge appends (a) the batch's new rows stamped with
   the commit sequence and (b) a key-marker ("tombstone") file carrying
@@ -46,6 +50,7 @@ from pyspark.sql.types import (DataType, LongType, StringType,
                                StructField, StructType)
 
 MANIFEST_DIR = "_commits"
+SHARD_DIR = os.path.join(MANIFEST_DIR, "shards")
 DATA_DIR = "data"
 
 # type-widening lattice: a merge may move a column *up* this chain
@@ -141,6 +146,39 @@ class LakeCatalog:
     def checkpoint(self) -> dict[str, int]:
         return dict(self.manifest().get("checkpoint", {}))
 
+    # -- manifest shards -------------------------------------------------------
+    #
+    # Per-(table, bucket) file lists live in immutable shard JSONs under
+    # _commits/shards/, referenced from the root manifest by path — the
+    # flat-file analog of Iceberg's manifest list. A commit writes the
+    # small root plus ONE new shard per touched bucket, so commit
+    # metadata is O(batch's touched buckets x files-per-bucket), never
+    # O(total live files). Pre-shard manifests carried the lists inline
+    # under "files"; both forms stay readable, shard pointer wins.
+
+    def _load_shard(self, rel: str) -> list[dict]:
+        with open(os.path.join(self.root, rel)) as f:
+            return json.load(f)
+
+    def table_buckets(self, t: dict) -> set[str]:
+        """All bucket ids with live files in table-dict ``t``."""
+        return set(t.get("files", {})) | set(t.get("shards", {}))
+
+    def bucket_entries(self, t: dict, b: str) -> list[dict]:
+        """Live file entries of one bucket (shard pointer wins over a
+        legacy inline list)."""
+        rel = t.get("shards", {}).get(b)
+        if rel is not None:
+            return self._load_shard(rel)
+        return list(t.get("files", {}).get(b, []))
+
+    def table_files(self, name: str) -> dict[str, list[dict]]:
+        """All live file entries of a table, keyed by bucket (reads
+        every shard — inspection/maintenance use, not the commit path)."""
+        t = self.manifest()["tables"].get(name) or {}
+        return {b: self.bucket_entries(t, b)
+                for b in sorted(self.table_buckets(t))}
+
     def lineage(self) -> list[dict]:
         return list(self.manifest().get("lineage", []))
 
@@ -159,10 +197,12 @@ class LakeCatalog:
                             + [StructField("_seq", LongType(), True)])
         wanted = None if buckets is None else {str(b) for b in buckets}
         groups: dict[int, list[str]] = {}
-        for b, bucket_files in t["files"].items():
+        for b in self.table_buckets(t):
             if wanted is not None and b not in wanted:
                 continue
-            for entry in bucket_files:
+            # bucket pruning never even loads the skipped buckets'
+            # shard files — metadata cost tracks the read's bucket set
+            for entry in self.bucket_entries(t, b):
                 groups.setdefault(entry["schema_id"], []).append(
                     os.path.join(self.root, entry["path"]))
         if not groups:
@@ -266,8 +306,8 @@ class LakeCatalog:
         m = self.manifest()
         live: set[str] = set()
         for t in m["tables"].values():
-            for fs in t["files"].values():
-                live.update(e["path"] for e in fs)
+            for b in self.table_buckets(t):
+                live.update(e["path"] for e in self.bucket_entries(t, b))
             for fs in t.get("markers", {}).values():
                 live.update(e["path"] for e in fs)
 
@@ -306,7 +346,36 @@ class LakeCatalog:
                 if v <= current - keep_manifests:
                     os.unlink(os.path.join(self.root, MANIFEST_DIR, fn))
                     pruned += 1
-        return {"files_removed": removed, "manifests_pruned": pruned}
+
+        # shard GC: keep shard files referenced by any surviving
+        # manifest; drop the rest past the in-flight grace period
+        referenced: set[str] = set()
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        for fn in os.listdir(mdir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    with open(os.path.join(mdir, fn)) as f:
+                        man = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                for t in man.get("tables", {}).values():
+                    referenced.update(t.get("shards", {}).values())
+        shard_root = os.path.join(self.root, SHARD_DIR)
+        shards_removed = 0
+        if os.path.isdir(shard_root):
+            for dirpath, _dn, filenames in os.walk(shard_root,
+                                                   topdown=False):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if rel not in referenced \
+                            and os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                        shards_removed += 1
+                if not os.listdir(dirpath) and dirpath != shard_root:
+                    os.rmdir(dirpath)
+        return {"files_removed": removed, "manifests_pruned": pruned,
+                "shards_removed": shards_removed}
 
 
 def _bucket_expr(key_cols: tuple[str, ...], n_buckets: int):
@@ -325,8 +394,33 @@ class Transaction:
         self.lineage = list(self.base.get("lineage", []))
         self.txn_id = uuid.uuid4().hex[:12]
         self._n = 0
+        # per-(table, bucket) staged file lists; only DIRTY buckets get
+        # a new shard at commit — untouched buckets keep their existing
+        # shard pointers untouched (O(batch) commit metadata)
+        self._bucket_cache: dict[tuple[str, str], list[dict]] = {}
+        self._dirty: set[tuple[str, str]] = set()
 
     # -- helpers ---------------------------------------------------------------
+
+    def _entries(self, name: str, t: dict, b) -> list[dict]:
+        key = (name, str(b))
+        if key not in self._bucket_cache:
+            self._bucket_cache[key] = list(
+                self.cat.bucket_entries(t, str(b)))
+        return self._bucket_cache[key]
+
+    def _extend_bucket(self, name: str, t: dict, b,
+                       entries: list[dict]) -> None:
+        self._entries(name, t, b).extend(entries)
+        self._dirty.add((name, str(b)))
+
+    def _replace_buckets(self, name: str, t: dict,
+                         files: dict) -> None:
+        """Drop every existing bucket's list and install ``files``
+        (keys are bucket-id strings, as _write_bucketed returns)."""
+        for b in self.cat.table_buckets(t) | set(files):
+            self._bucket_cache[(name, b)] = list(files.get(b, []))
+            self._dirty.add((name, b))
 
     def _stage_dir(self, table: str) -> str:
         self._n += 1
@@ -341,7 +435,7 @@ class Transaction:
                  "schema_id": 0,
                  "key_cols": list(key_cols),
                  "n_buckets": n_buckets,
-                 "files": {},
+                 "shards": {},
                  "markers": {}}
             self.tables[name] = t
         return t
@@ -411,9 +505,9 @@ class Transaction:
                           n_buckets: int = 32) -> None:
         t = self._ensure_table(name, df.schema, key_cols, n_buckets)
         schema = self._evolve_schema(t, df.schema)
-        t["files"] = {str(b): fs for b, fs in
-                      self._write_bucketed(name, t, df, schema,
-                                           None).items()}
+        self._replace_buckets(name, t,
+                              self._write_bucketed(name, t, df, schema,
+                                                   None))
         t["markers"] = {}
 
     def append(self, name: str, df: DataFrame,
@@ -425,7 +519,7 @@ class Transaction:
         schema = self._evolve_schema(t, df.schema)
         for b, fs in self._write_bucketed(name, t, df, schema,
                                           None).items():
-            t["files"].setdefault(str(b), []).extend(fs)
+            self._extend_bucket(name, t, b, fs)
 
     def append_rows(self, name: str, rows: list[tuple],
                     schema: StructType) -> None:
@@ -454,10 +548,10 @@ class Transaction:
         os.makedirs(bdir, exist_ok=True)
         fn = os.path.join(bdir, "part-00000.parquet")
         pq.write_table(table, fn)
-        t["files"].setdefault("0", []).append(
+        self._extend_bucket(name, t, "0", [
             {"path": os.path.join(rel, "_bucket=0",
                                   os.path.basename(fn)),
-             "schema_id": t["schema_id"]})
+             "schema_id": t["schema_id"]}])
 
     def merge_replace_keys(self, name: str, new_rows: DataFrame,
                            delete_keys: DataFrame,
@@ -501,7 +595,7 @@ class Transaction:
                                      extra_cols=("_seq",),
                                      pre_partitioned=pre_partitioned)
         for b, fs in files.items():
-            t["files"].setdefault(b, []).extend(fs)
+            self._extend_bucket(name, t, b, fs)
 
         # markers: tiny (batch's distinct keys) -> single-task write, no
         # shuffle; stored unbucketed (read in full, reset by compact)
@@ -529,11 +623,16 @@ class Transaction:
         t = self.tables.get(name)
         if not t or not t.get("markers"):
             return
+        # the MoR read below resolves this table's file lists from the
+        # COMMITTED shard/inline state, so compact must be this txn's
+        # first operation on the table
+        assert not any(n == name for n, _b in self._dirty), \
+            f"compact({name!r}) must precede other writes in a txn"
         schema = StructType.fromJson(
             json.loads(t["schemas"][t["schema_id"]]))
         live = self.cat.read(name, {"tables": self.tables, "version": -1})
         files = self._write_bucketed(name, t, live, schema, None)
-        t["files"] = {b: fs for b, fs in files.items()}
+        self._replace_buckets(name, t, files)
         t["markers"] = {}
 
     def set_checkpoint(self, offsets: dict[str, int],
@@ -547,8 +646,30 @@ class Transaction:
     # -- commit --------------------------------------------------------------------
 
     def commit(self) -> int:
-        """Publish atomically; raises on concurrent commit conflict."""
+        """Publish atomically; raises on concurrent commit conflict.
+
+        Writes ONE shard JSON per dirty (table, bucket) plus the small
+        root manifest — commit metadata cost is O(touched buckets), not
+        O(total live files). Shards are immutable and published before
+        the root link; a crash in between leaves only unreferenced
+        shard files, which vacuum() collects."""
         version = self.base["version"] + 1
+        for name, b in sorted(self._dirty):
+            t = self.tables[name]
+            entries = self._bucket_cache[(name, b)]
+            shards = t.setdefault("shards", {})
+            # shard pointer replaces any legacy inline list for b
+            t.get("files", {}).pop(b, None)
+            if not entries:
+                shards.pop(b, None)
+                continue
+            rel = os.path.join(SHARD_DIR, name,
+                               f"{self.txn_id}-v{version}-{b}.json")
+            full = os.path.join(self.cat.root, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "w") as f:
+                json.dump(entries, f)
+            shards[b] = rel
         manifest = {"version": version,
                     "tables": self.tables,
                     "checkpoint": self.checkpoint,

@@ -140,6 +140,93 @@ def test_lake_compaction_preserves_state(spark, tmp_path):
     assert cat.manifest()["tables"]["t"]["markers"] == {}
 
 
+def test_commit_metadata_scales_with_batch_not_table(spark, tmp_path):
+    """A commit writes the small root manifest plus one shard per
+    TOUCHED bucket — growing the rest of the table must not grow the
+    metadata bytes of a single-bucket commit (the Iceberg manifest-list
+    property the 10^10-event design needs)."""
+    from grate_spark.cdc.lake import _bucket_expr
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    nb = 8
+
+    # split candidate keys by bucket so seed traffic NEVER touches the
+    # hot key's bucket
+    cand = spark.createDataFrame([(f"k{i}",) for i in range(120)],
+                                 "k string")
+    bk = {r["k"]: r["b"] for r in cand.select(
+        "k", _bucket_expr(("k",), nb).alias("b")).collect()}
+    hot = "k0"
+    seeds = [k for k, b in bk.items() if b != bk[hot]]
+    assert len(seeds) >= 60
+
+    def merge(pairs):
+        txn = cat.begin()
+        df = spark.createDataFrame(pairs, "k string, v int")
+        txn.merge_replace_keys("t", df, df.select("k"), ("k",),
+                               n_buckets=nb)
+        txn.commit()
+
+    def meta_bytes(fn):
+        """(root_bytes, shard_bytes) newly written under _commits by
+        fn()."""
+        root = os.path.join(str(tmp_path / "lake"), "_commits")
+        shard_root = os.path.join(root, "shards")
+        def snap():
+            out = {}
+            for dp, _dn, fns in os.walk(root):
+                for f in fns:
+                    p = os.path.join(dp, f)
+                    out[p] = os.path.getsize(p)
+            return out
+        before = snap()
+        fn()
+        new = {p: sz for p, sz in snap().items() if p not in before}
+        shards = sum(sz for p, sz in new.items()
+                     if p.startswith(shard_root))
+        return sum(new.values()) - shards, shards
+
+    for i in range(6):
+        merge([(k, i) for k in seeds[i * 10:(i + 1) * 10]])
+    root_small, shards_small = meta_bytes(lambda: merge([(hot, 1)]))
+    files_small = sum(len(fs) for fs in cat.table_files("t").values())
+
+    # triple the live-file population of the OTHER buckets
+    n_grow = 18
+    for i in range(n_grow):
+        merge([(k, 100 + i) for k in seeds[(i % 6) * 10:(i % 6) * 10 + 10]])
+    root_big, shards_big = meta_bytes(lambda: merge([(hot, 2)]))
+    files_big = sum(len(fs) for fs in cat.table_files("t").values())
+
+    assert files_big >= files_small * 2.5
+    # the manifest-list property: the single-bucket commit's SHARD
+    # bytes track that bucket's own history only — unchanged while the
+    # rest of the table tripled
+    assert shards_big <= shards_small * 1.5 + 100, (shards_small,
+                                                    shards_big)
+    # the root's only growth term is the marker list: ONE bounded entry
+    # per commit since compaction (reset by compact()), never a
+    # function of the 240 data files the other buckets gained — an
+    # inline full-file listing would have grown ~100 B per file
+    assert root_big - root_small <= 250 * (n_grow + 1), (root_small,
+                                                         root_big)
+
+    # untouched buckets keep their exact shard pointers across the
+    # single-bucket commit
+    shards_before = dict(cat.manifest()["tables"]["t"]["shards"])
+    merge([(hot, 3)])
+    shards_after = dict(cat.manifest()["tables"]["t"]["shards"])
+    hb = str(bk[hot])
+    assert shards_after[hb] != shards_before[hb]
+    for b in shards_before:
+        if b != hb:
+            assert shards_after[b] == shards_before[b]
+
+    # state stays correct through it all
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got[hot] == 3
+
+
 def test_lake_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     """After compact, vacuum drops superseded files; the table still
     reads identically."""
@@ -594,9 +681,8 @@ def test_salted_hot_bucket_state_and_speedup(spark, tmp_path):
             pipe.replay(events, batch_size=None)
             times[mode].append(time.perf_counter() - t0)
             fps[mode] = state_fingerprint(pipe.results())
-            m = pipe.lake.manifest()
             n_files[mode] = sum(len(fs) for fs in
-                                m["tables"]["results"]["files"].values())
+                                pipe.lake.table_files("results").values())
         if min(times["salted"]) * 2.0 <= min(times["unsalted"]):
             break
     assert fps["salted"] == fps["unsalted"]
