@@ -299,13 +299,19 @@ class CdcPipeline:
             if self.wide_view and stats["files"]:
                 # the wide merge needs the typed-width projection, whose
                 # width (max_cols) we only know post-write; read the
-                # files the merge just wrote (column-pruned) as input
+                # files the merge just wrote (column-pruned) as input.
+                # Those files are already bucket-pure (partitionBy wrote
+                # one bucket per file), and the projection never moves a
+                # row across keys — so the wide write is pre_partitioned
+                # too: the whole wide path runs without ANY exchange
+                # (scan -> project -> encode in one fused stage).
                 written = self.spark.read.parquet(*stats["files"])
                 txn.merge_replace_keys(WIDE_TABLE,
                                        _wide_view(written, max_cols),
                                        all_keys, MERGE_KEY,
-                                       self.n_buckets, touched=touched)
-                _mark("merge wide view")
+                                       self.n_buckets, touched=touched,
+                                       pre_partitioned=True)
+                _mark("merge wide view (fused, no exchange)")
 
             # per-batch ingest metrics buffer — flushed to the metrics
             # table in one write by flush_metrics() (replay calls it);

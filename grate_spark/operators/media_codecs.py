@@ -5,8 +5,8 @@ MP3, H.264, ...) stay behind ``NotImplementedError`` — but the formats
 that need only ``zlib``/``struct`` are decoded for real:
 
 - **BMP**: uncompressed 24/32-bit BITMAPINFOHEADER.
-- **PNG**: 8-bit greyscale / RGB / RGBA, non-interlaced (zlib inflate +
-  Sub/Up/Average/Paeth unfiltering).
+- **PNG**: 8-bit greyscale / RGB / RGBA / palette-indexed (PLTE),
+  non-interlaced (zlib inflate + Sub/Up/Average/Paeth unfiltering).
 - **WAV**: PCM 8/16-bit RIFF.
 
 Decoders return numpy arrays, so downstream feature UDFs stay
@@ -71,7 +71,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 # PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> channels
+# color_type -> channels per PIXEL IN THE SCANLINE (type 3 stores
+# 1-byte palette indices; the palette lookup expands them to RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -90,6 +92,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = height = None
     color_type = bit_depth = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
         pos += 8
@@ -106,12 +109,18 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise MediaDecodeError(
                     f"png: unsupported depth={bit_depth}/"
                     f"color={color_type}")
+        elif ctype == b"PLTE":
+            if length % 3 or length > 256 * 3:
+                raise MediaDecodeError("png: bad PLTE length")
+            plte = chunk
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise MediaDecodeError("png: missing IHDR/IDAT")
+    if color_type == 3 and plte is None:
+        raise MediaDecodeError("png: palette image without PLTE")
     if width * height > 1 << 26:
         raise MediaDecodeError("png: bad dimensions")
     ch = _PNG_CHANNELS[color_type]
@@ -150,6 +159,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise MediaDecodeError(f"png: bad filter {ft}")
         out[y] = line
         prev = out[y]
+    if color_type == 3:
+        # indexed color: expand 1-byte indices through the RGB palette
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise MediaDecodeError("png: palette index out of range")
+        return pal[idx]
     return out.reshape(height, width, ch)
 
 

@@ -37,13 +37,31 @@ def sanitize_cells(rows: DataFrame, col: str = "cells") -> DataFrame:
             F.regexp_replace(x, r"[ \n\r\t]+", " "))))
 
 
+# strict-Scan tag acceptance per target (commonxl/sheet.go:178-222:
+# the runtime cell type must equal the scan target). All string-valued
+# cell shapes satisfy *string: plain 's', hyperlink 'h', merged-static
+# 'm', and blank ' ' (a BlankCell's Value() is "" — commonxl/cell.go:
+# 58-63, 254-261).
+_STRICT_TAGS = {"bool": "b", "int": "i", "float": "f",
+                "timestamp": "d", "string": "shm "}
+
+
 def typed_column(rows: DataFrame, position: int, target: str,
-                 out: str = "value") -> DataFrame:
+                 out: str = "value", strict: bool = False) -> DataFrame:
     """Scan one 1-based cell position into a typed column.
 
-    ``target``: bool | int | float | string | timestamp. Parse failures
-    are NULL (the DataFrame analog of Scan's error return); the bool
-    literal table matches the reference.
+    ``target``: bool | int | float | string | timestamp.
+
+    Default (lenient) mode is the `simple` Scan (simple/simple.go:
+    74-108): values are parsed from the rendered string; parse failures
+    are NULL; the bool literal table matches the reference.
+
+    ``strict=True`` is the `commonxl` Scan (commonxl/sheet.go:178-222):
+    the CELL TYPE must match the target. A mismatch — including a
+    position past the row's width — sets ``<out>_mismatch`` true and
+    yields a NULL value (the row-level analog of the reference's scan
+    error), so a user porting strict-Scan code sees the mismatch
+    instead of a silent NULL.
     """
     cell = F.try_element_at("cells", F.lit(position))
     if target == "bool":
@@ -58,7 +76,15 @@ def typed_column(rows: DataFrame, position: int, target: str,
         typed = cell.try_cast("timestamp")
     else:
         typed = cell
-    return rows.withColumn(out, typed)
+    df = rows.withColumn(out, typed)
+    if strict:
+        tag = F.substring("types", F.lit(position), F.lit(1))
+        allowed = list(_STRICT_TAGS.get(target, ""))
+        ok = (F.length(tag) == 1) & tag.isin(*allowed)
+        df = (df.withColumn(out + "_mismatch", ~F.coalesce(ok,
+                                                           F.lit(False)))
+              .withColumn(out, F.when(ok, F.col(out))))
+    return df
 
 
 def non_empty_sheets(rows: DataFrame) -> DataFrame:

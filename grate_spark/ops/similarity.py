@@ -331,3 +331,84 @@ def ann_topk_trained(emb: DataFrame, query_ids: list, centroids: list,
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank")
             .orderBy("query_id", "rank"))
+
+
+TRAINED_K = 4        # Lloyd clusters for the oracle-checked trained IVF
+TRAINED_ITERS = 2    # fixed iterations -> the SQL oracle unrolls them
+
+
+def ann_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-oracle surface for the trained-IVF path: deterministic
+    spherical k-means (seedless init = lowest vec_ids, fixed
+    iterations, 6-dp rounding) then nprobe=1 search for IVF_QUERIES.
+    The DuckDB oracle replays the identical Lloyd iterations in SQL."""
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    cents = train_ivf_centroids(emb, k=TRAINED_K, iters=TRAINED_ITERS)
+    return ann_topk_trained(emb, list(IVF_QUERIES), cents, nprobe=1)
+
+
+def _lloyd_iter_sql(prev: str, n: int) -> str:
+    """One unrolled Lloyd iteration: assign by 6-dp-rounded dot over
+    unit vectors (tie -> lowest centroid), per-position mean, normalize
+    + 6-dp round; empty clusters keep their previous centroid."""
+    return f"""a{n} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT u.vec_id, u.v, c.centroid_id,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY round(list_dot_product(u.v, c.cv), 6) DESC,
+                      c.centroid_id) AS r
+    FROM unit u CROSS JOIN {prev} c) WHERE r = 1
+), m{n} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS l FROM (
+    SELECT centroid_id, pos, avg(x) AS m FROM (
+      SELECT centroid_id, unnest(range(1, 65)) AS pos, unnest(v) AS x
+      FROM a{n})
+    GROUP BY centroid_id, pos)
+  GROUP BY centroid_id
+), c{n} AS (
+  SELECT p.centroid_id,
+         coalesce(list_transform(m.l, e -> round(e /
+           sqrt(list_aggregate(list_transform(m.l, y -> y * y), 'sum')),
+           6)), p.cv) AS cv
+  FROM {prev} p LEFT JOIN m{n} m USING (centroid_id)
+)"""
+
+
+ANN_TRAINED_TOPK_SQL = f"""
+WITH emb_d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x /
+    sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS v
+  FROM emb_d
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           AS centroid_id, v AS cv
+  FROM unit ORDER BY vec_id LIMIT {TRAINED_K}
+), {_lloyd_iter_sql('c0', 1)}, {_lloyd_iter_sql('c1', 2)},
+ranked AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(c.cv, e.v), 4) DESC,
+                    c.centroid_id) AS r
+  FROM emb_d e CROSS JOIN c{TRAINED_ITERS} c
+), assignment AS (
+  SELECT vec_id, v, centroid_id FROM ranked WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+  FROM ranked WHERE r <= 1 AND vec_id IN {IVF_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS cos
+  FROM assignment a JOIN probes p ON a.centroid_id = p.qc
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

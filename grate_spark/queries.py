@@ -622,6 +622,8 @@ def _training_data_queries() -> dict:
                         similarity.COSINE_TOPK_SQL),
         "ann_ivf_topk": (similarity.ann_ivf_topk,
                          similarity.ANN_IVF_TOPK_SQL),
+        "ann_trained_topk": (similarity.ann_trained_topk,
+                             similarity.ANN_TRAINED_TOPK_SQL),
         "embedding_neardup_pairs": (similarity.embedding_neardup_pairs,
                                     similarity.EMBEDDING_NEARDUP_SQL),
         "langid_predictions": (text.langid_predictions,

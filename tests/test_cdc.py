@@ -552,6 +552,51 @@ def test_synthetic_replay_matches_expected(spark, tmp_path):
     assert v1_only.count() > 0
 
 
+def test_replay_hyperlink_encrypted_date1904_full_gate(spark, tmp_path):
+    """Hyperlink, RC4-encrypted, and Date1904 workbooks flowing through
+    the FULL replay path (events -> winners -> UDTF -> MERGE) must land
+    byte-identical to direct library extraction — these decode paths
+    were previously unit-tested only."""
+    import base64
+
+    from grate_spark.extract import extract_blob
+    from tests.test_xls_synthetic import (build_workbook,
+                                          EXPECTED_FIRST_ROWS)
+
+    blobs = {"hyper.xls": build_workbook(),
+             "enc.xls": build_workbook(encrypt=True),
+             "epoch1904.xls": build_workbook(date1904=True)}
+    rows = [(i + 1, i % 2, "I", "synth", p, f"c{i}", "xls",
+             base64.b64encode(b).decode("ascii"))
+            for i, (p, b) in enumerate(sorted(blobs.items()))]
+    events = spark.createDataFrame(
+        rows, "offset bigint, partition int, op string, repo string, "
+              "path string, commit string, lang string, content string")
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=False)
+    pipe.replay(events, batch_size=None)
+    res = pipe.results()
+    assert res.filter(F.col("error").isNotNull()).count() == 0
+
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["path"], {})[r["row_id"]] = r["cells"]
+    # only the visible sheet survives the hidden/dialog filters
+    sheets = {r["sheet"] for r in res.select("sheet").distinct().collect()}
+    assert sheets == {"Visible"}
+    for p in ("hyper.xls", "enc.xls"):
+        cells = [got[p][i] for i in range(6)]
+        assert cells == EXPECTED_FIRST_ROWS, p
+    # the 1904-epoch date renders against the 1904 epoch (1900 would
+    # give 04-09-00)
+    assert got["epoch1904.xls"][6][0] == "04-10-04"
+    # full parity: replay state == direct library extraction, per blob
+    for p, raw in blobs.items():
+        direct = extract_blob(f"synth/{p}", raw)
+        want = {i: r[0] for i, r in enumerate(direct.tables[0].rows)}
+        assert got[p] == want, p
+
+
 def test_marker_growth_switches_to_shuffle_join(spark, tmp_path):
     """Many merges with NO compaction: once the cumulative marker set
     exceeds the broadcast budget, the MoR read must fall back to a

@@ -99,6 +99,45 @@ def test_png_filtered_rows_decode():
     assert np.array_equal(decode_png(payload), img)
 
 
+def test_png_palette_decode():
+    """color_type 3 (PLTE-indexed) — the most common real-corpus PNG
+    variant: indices expand through the palette to RGB."""
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 8, 9])
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    lines = b"".join(bytes([0]) + bytes(row) for row in idx)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3,
+                                            0, 0, 0))
+               + chunk(b"PLTE", pal)
+               + chunk(b"IDAT", zlib.compress(lines))
+               + chunk(b"IEND", b""))
+    got = decode_png(payload)
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert got.shape == (2, 4, 3)
+    assert np.array_equal(got, want)
+
+    # out-of-range index and missing PLTE surface as decode errors
+    bad_idx = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3,
+                                            0, 0, 0))
+               + chunk(b"PLTE", pal)
+               + chunk(b"IDAT", zlib.compress(b"\x00\x09"))
+               + chunk(b"IEND", b""))
+    with pytest.raises(MediaDecodeError):
+        decode_png(bad_idx)
+    no_plte = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3,
+                                            0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+               + chunk(b"IEND", b""))
+    with pytest.raises(MediaDecodeError):
+        decode_png(no_plte)
+
+
 def test_wav_roundtrip_stereo():
     samples = (np.arange(200, dtype=np.int16)
                .reshape(100, 2) * 17 - 300).astype(np.int16)

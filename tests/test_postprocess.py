@@ -52,6 +52,36 @@ def test_typed_column_scan(spark):
     assert rows[1]["b"] is False and rows[1]["ts"] is None
 
 
+def test_typed_column_strict_scan_mismatch(spark):
+    """strict=True mirrors commonxl Scan (commonxl/sheet.go:178-222):
+    a cell whose runtime TYPE differs from the target is a surfaced
+    mismatch, not a silent NULL; matching cells scan normally."""
+    from grate_spark.operators.postprocess import typed_column
+
+    df = spark.createDataFrame(
+        [("r", "p", "s", 0, ["42", "x"], "is"),    # int, string
+         ("r", "p", "s", 1, ["7", "9"], "si"),     # string "7", int 9
+         ("r", "p", "s", 2, [""], " ")],           # blank cell
+        "repo string, path string, sheet string, row_id long, "
+        "cells array<string>, types string")
+    out = typed_column(df, 1, "int", "i", strict=True)
+    out = typed_column(out, 1, "string", "s1", strict=True)
+    rows = {r["row_id"]: r for r in out.collect()}
+    # row 0 pos 1 is an integer cell: int scan ok, string scan mismatch
+    assert rows[0]["i"] == 42 and rows[0]["i_mismatch"] is False
+    assert rows[0]["s1"] is None and rows[0]["s1_mismatch"] is True
+    # row 1 pos 1 is a STRING cell "7": lenient would parse 7; strict
+    # flags the type mismatch and yields NULL
+    assert rows[1]["i"] is None and rows[1]["i_mismatch"] is True
+    assert rows[1]["s1"] == "7" and rows[1]["s1_mismatch"] is False
+    # blank cell: Value() is "" (string) -> *string ok, *int64 errors
+    assert rows[2]["s1"] == "" and rows[2]["s1_mismatch"] is False
+    assert rows[2]["i_mismatch"] is True
+    # position past the row's width is a mismatch, not a crash
+    out2 = typed_column(df, 9, "int", "i9", strict=True)
+    assert all(r["i9_mismatch"] for r in out2.collect())
+
+
 def test_non_empty_sheets(spark):
     from grate_spark.operators.postprocess import non_empty_sheets
 

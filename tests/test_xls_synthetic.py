@@ -166,11 +166,17 @@ def rk_from_int(i: int) -> int:
     return ((i << 2) & 0xFFFFFFFF) | 2
 
 
-def build_workbook(encrypt: bool = False) -> bytes:
+def build_workbook(encrypt: bool = False, date1904: bool = False) -> bytes:
+    """``date1904=True`` flips the epoch flag, adds a 17th XF with the
+    built-in date format 14, and a serial-number cell at row 6 — the
+    rendered date must use the 1904 epoch."""
+    epoch = b"\x01\x00" if date1904 else b"\x00\x00"
+    extra_xf = xf(14) if date1904 else b""
+    extra_cell = number(6, 0, 16, 100.5) if date1904 else b""
     sheet1 = (
         bof(0x0010)
         + rec(129, b"\x00\x00")  # WsBool, not a dialog
-        + dimensions(6, 4)
+        + dimensions(7 if date1904 else 6, 4)
         + rk_rec(0, 0, 0, rk_from_int(7))
         + mulrk(0, 1, [(0, rk_from_int(10)), (0, rk_from_int(20))])
         + number(1, 0, 0, 2.5)
@@ -181,15 +187,16 @@ def build_workbook(encrypt: bool = False) -> bytes:
         + formula_with_string(3, 0, 0, "cached-value", split=6)
         + merge_cells([(4, 5, 0, 1)])
         + hlink(3, 2, "https://example.com/x", "Example")
+        + extra_cell
         + rec(10, b""))
     hidden_sheet = (bof(0x0010) + dimensions(1, 1)
                     + rk_rec(0, 0, 0, rk_from_int(99)) + rec(10, b""))
     dialog_sheet = (bof(0x0010) + rec(129, b"\x00\x10") + rec(10, b""))
 
     globals_base = (
-        rec(34, b"\x00\x00")                       # Date1904 = 0
+        rec(34, epoch)
         + sst(["alpha", "continuation!"], split_at=4)
-        + xf(0) * 16
+        + xf(0) * 16 + extra_xf
         + boundsheet(0, 0, "Visible")
         + boundsheet(0, 1, "Hidden")
         + boundsheet(0, 0, "Dialog"))
@@ -201,9 +208,9 @@ def build_workbook(encrypt: bool = False) -> bytes:
     pos2 = pos1 + len(sheet1)
     pos3 = pos2 + len(hidden_sheet)
     globals_fixed = (
-        rec(34, b"\x00\x00")
+        rec(34, epoch)
         + sst(["alpha", "continuation!"], split_at=4)
-        + xf(0) * 16
+        + xf(0) * 16 + extra_xf
         + boundsheet(pos1, 0, "Visible")
         + boundsheet(pos2, 1, "Hidden")
         + boundsheet(pos3, 0, "Dialog"))
@@ -219,9 +226,9 @@ def build_workbook(encrypt: bool = False) -> bytes:
         filepass = rec(47, struct.pack("<H", 1) + payload)
         shift = len(filepass)
         globals_enc = (
-            rec(34, b"\x00\x00")
+            rec(34, epoch)
             + sst(["alpha", "continuation!"], split_at=4)
-            + xf(0) * 16
+            + xf(0) * 16 + extra_xf
             + boundsheet(pos1 + shift, 0, "Visible")
             + boundsheet(pos2 + shift, 1, "Hidden")
             + boundsheet(pos3 + shift, 0, "Dialog"))
