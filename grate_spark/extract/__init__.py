@@ -45,6 +45,23 @@ class ExtractResult:
     fmt: str
     tables: list[Table] = field(default_factory=list)
 
+    def list(self) -> list[str]:
+        """Visible sheet names (WorkBook.List, xls/sheets.go:14-23)."""
+        return [t.name for t in self.tables if not t.hidden]
+
+    def list_hidden(self) -> list[str]:
+        """Hidden sheet names — the complement surface
+        (WorkBook.ListHidden, xls/sheets.go:25-34)."""
+        return [t.name for t in self.tables if t.hidden]
+
+    def get(self, name: str) -> Table:
+        """The named sheet (WorkBook.Get, xls/sheets.go:36-44); raises
+        KeyError for an unknown name."""
+        for t in self.tables:
+            if t.name == name:
+                return t
+        raise KeyError(name)
+
 
 def decode_content(content, lang: Optional[str] = None) -> bytes:
     """Blob column -> raw bytes. Binary formats arrive base64-encoded in

@@ -299,6 +299,17 @@ def test_synthetic_merge_sentinels_and_types():
     assert types[3][2] == "string"
 
 
+def test_list_listhidden_get_surface():
+    """Source-level List/ListHidden/Get (xls/sheets.go:14-44): visible
+    and hidden names split; Get reaches a hidden sheet by name."""
+    res = extract_blob("synth.xls", build_workbook())
+    assert res.list() == ["Visible"]
+    assert res.list_hidden() == ["Hidden"]
+    assert res.get("Hidden").rows[0][0] == ["99"]
+    with pytest.raises(KeyError):
+        res.get("NoSuchSheet")
+
+
 def test_synthetic_encrypted_roundtrip():
     """Full-file standard RC4: encrypted workbook extracts to the same
     rows as the cleartext one (B17 end-to-end)."""
