@@ -38,6 +38,25 @@ def _cos_expr(a: str, b: str) -> str:
             f"({_NORM.format(v=a)} * {_NORM.format(v=b)}), 4)")
 
 
+def _argmax_assignment(assigned: DataFrame, payload: str = "v",
+                       score: str = "ccos") -> DataFrame:
+    """Per-vector nearest-centroid pick via max-of-struct aggregation
+    instead of a row_number window: the map-side partial agg collapses
+    each vector's n_centroids candidate rows BEFORE the exchange, so
+    the shuffle moves ONE row per vector (no n_centroids-x blowup, no
+    window sort). Tie-break matches the window plan exactly:
+    (desc score, asc centroid_id) — the negated id inside the struct
+    makes the max deterministic."""
+    return (assigned.groupBy("vec_id")
+            .agg(F.max(F.struct(
+                F.col(score).alias("_s"),
+                (-F.col("centroid_id")).alias("_nc"),
+                F.col("centroid_id").alias("cid"))).alias("_m"),
+                F.first(payload).alias(payload))
+            .select("vec_id", payload,
+                    F.col("_m.cid").alias("centroid_id")))
+
+
 def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < N_QUERIES) \
@@ -80,14 +99,11 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS) \
         .select(F.col("vec_id").alias("centroid_id"),
                 F.col("embedding").alias("cv"))
-    # assign every vector to its nearest centroid (broadcast pass)
+    # assign every vector to its nearest centroid (broadcast pass);
+    # map-side max_by keeps the exchange at one row per vector
     assigned = (emb.crossJoin(F.broadcast(cents))
                 .withColumn("ccos", F.expr(_cos_expr("cv", "embedding"))))
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
-                                              "centroid_id")
-    assignment = (assigned.withColumn("r", F.row_number().over(wa))
-                  .filter(F.col("r") == 1)
-                  .select("vec_id", "embedding", "centroid_id"))
+    assignment = _argmax_assignment(assigned, payload="embedding")
     q = assignment.filter(F.col("vec_id").isin(list(IVF_QUERIES))) \
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qv"),
@@ -130,20 +146,24 @@ def neardup_pairs(emb: DataFrame,
                 F.col("v").alias("cv"))
     assigned = (emb.crossJoin(F.broadcast(cents))
                 .withColumn("ccos", F.expr(_cos_expr("cv", "v"))))
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
-                                              "centroid_id")
-    assignment = (assigned.withColumn("r", F.row_number().over(wa))
-                  .filter(F.col("r") == 1)
-                  .select("vec_id", "v", "centroid_id"))
+    assignment = _argmax_assignment(assigned)
+    # each vector's norm is computed ONCE here instead of inside every
+    # pair of the quadratic stage (the denominator value — and thus the
+    # rounded cosine — is bit-identical; only the evaluation count
+    # changes: O(n) norms instead of O(pairs))
+    assignment = assignment.withColumn("nrm",
+                                       F.expr(_NORM.format(v="v")))
     # materialization barrier: the self-join's two sides reuse ONE
     # computed assignment exchange instead of recomputing the
     # centroid-assignment cross join per side
     assignment = assignment.repartition("centroid_id")
     a = assignment.alias("a")
     b = assignment.alias("b")
+    pair_cos = F.expr(f"round({_DOT.format(a='a.v', b='b.v')} / "
+                      f"(a.nrm * b.nrm), 4)")
     return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .withColumn("cos", F.expr(_cos_expr("a.v", "b.v")))
+            .withColumn("cos", pair_cos)
             .filter(F.col("cos") >= threshold)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"), "cos")
@@ -268,13 +288,9 @@ def train_ivf_centroids(emb: DataFrame, k: int,
                 [(cid, v) for cid, v in cents],
                 "centroid_id int, cv array<double>")
             dot = F.expr(_DOT.format(a="v", b="cv"))  # unit vecs: dot=cos
-            wa = Window.partitionBy("vec_id").orderBy(
-                F.desc("d"), "centroid_id")
-            assigned = (unit.crossJoin(F.broadcast(cdf))
-                        .withColumn("d", F.round(dot, 6))
-                        .withColumn("r", F.row_number().over(wa))
-                        .filter(F.col("r") == 1)
-                        .select("vec_id", "v", "centroid_id"))
+            assigned = _argmax_assignment(
+                unit.crossJoin(F.broadcast(cdf))
+                .withColumn("d", F.round(dot, 6)), score="d")
             means = (assigned
                      .select("centroid_id",
                              F.posexplode("v").alias("pos", "x"))
