@@ -122,11 +122,29 @@ def extract_files(df: DataFrame) -> DataFrame:
     """blob rows (repo, path, commit?, lang?, content) -> sheet rows.
 
     Column pruning: only the needed input columns cross into Arrow.
+    Base64 unwrap happens JVM-SIDE (whole-stage codegen): binary blobs
+    arrive base64-encoded in the string content column (the repo-table
+    contract), and decoding them before the Arrow hop ships raw bytes —
+    ~25% less transfer for binary formats and zero Python-side base64
+    work. The magic-byte gate mirrors ``decode_content``: only payloads
+    that decode to a CFB/ZIP signature are treated as base64; everything
+    else crosses as its UTF-8 bytes and takes the text path unchanged.
     """
+    from ..extract import CFB_MAGIC, ZIP_MAGIC
+
     cols = [c for c in ("repo", "path", "commit", "lang", "content")
             if c in df.columns]
-    return df.select(*cols).mapInPandas(_extract_batches,
-                                        schema=EXTRACT_SCHEMA)
+    out = df.select(*cols)
+    if "content" in cols:
+        raw = F.try_to_binary(F.trim(F.col("content")), F.lit("base64"))
+        is_wb = ((F.substring(raw, 1, 8) == F.lit(CFB_MAGIC))
+                 | (F.substring(raw, 1, 4) == F.lit(ZIP_MAGIC)))
+        unwrapped = (F.when(raw.isNotNull() & is_wb, raw)
+                     .otherwise(F.col("content").cast("binary"))
+                     .alias("content"))
+        out = out.select(*[F.col(c) for c in cols if c != "content"],
+                         unwrapped)
+    return out.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
 def with_content_sha(df: DataFrame, col: str = "content_sha256") -> DataFrame:
