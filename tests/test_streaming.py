@@ -1,0 +1,91 @@
+"""Structured Streaming rollup: batch equivalence + watermark
+late-data semantics (grate_spark/streaming.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+SF = os.environ.get("GRATE_TEST_SF", "/root/testdata/sf0.001")
+
+EV_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """The streaming windowed agg over the sf events parquet produces
+    row-for-row the batch hourly rollup."""
+    from grate_spark.queries import events_hourly_rollup
+    from grate_spark.streaming import streaming_hourly_rollup
+
+    # the file source needs a DIRECTORY; the sf table is a single file
+    evdir = str(tmp_path / "events")
+    os.makedirs(evdir)
+    os.link(os.path.join(SF, "events.parquet"),
+            os.path.join(evdir, "part-0.parquet"))
+    got = streaming_hourly_rollup(
+        spark, evdir, EV_SCHEMA,
+        str(tmp_path / "ckpt"), query_name="t_roll")
+    want = events_hourly_rollup(spark, SF)
+    g = {(r["hour_ts"], r["event_type"]): (r["n_events"],
+                                           r["sum_value"])
+         for r in got.collect()}
+    w = {(r["hour_ts"], r["event_type"]): (r["n_events"],
+                                           r["sum_value"])
+         for r in want.collect()}
+    assert g == w and len(g) > 100
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving after the watermark EVICTED its window's state
+    is dropped: the window's final aggregate must not include it, while
+    a naive batch aggregation of the same files would.
+
+    Three ordered triggers: (h1, h5) seed state and the watermark;
+    (h10) advances the watermark to 9:30, evicting the h1 window; then
+    a late h1 event with a poison value (99) arrives — if it were
+    aggregated, h1 would reappear as (1, 99.0)."""
+    import datetime as dt
+
+    from grate_spark.streaming import watermarked_rollup_final_state
+
+    def ev(eid, hour, value=1.0):
+        return (eid, dt.datetime(2024, 1, 1, hour, 30), 1, "click",
+                value, "{}")
+
+    feeds = [[ev(1, 1), ev(2, 5)], [ev(3, 10)], [ev(4, 1, 99.0)]]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, rows in enumerate(feeds):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write \
+            .parquet(d)
+        src = [fn for fn in os.listdir(d) if fn.endswith(".parquet")][0]
+        dst = os.path.join(flat, f"{i}.parquet")
+        os.link(os.path.join(d, src), dst)
+        # the file source orders by modification time (latestFirst off)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    final = watermarked_rollup_final_state(
+        spark, flat, EV_SCHEMA, str(tmp_path / "ckpt"),
+        watermark_delay="1 hour", max_files_per_trigger=1)
+
+    got = {k[0].hour: v for k, v in final.items()}
+    # the late event neither re-opened h1 nor changed its aggregate
+    assert got == {1: (1, 1.0), 5: (1, 1.0), 10: (1, 1.0)}, final
+
+    # the batch aggregation of the same files WOULD count it — the
+    # difference is exactly the streaming eviction semantics
+    batch = (spark.read.schema(EV_SCHEMA).parquet(flat)
+             .groupBy(F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+             .collect())
+    bmap = {r["h"].hour: (r["n"], r["sv"]) for r in batch}
+    assert bmap[1] == (2, 100.0)
