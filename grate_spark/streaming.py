@@ -93,3 +93,51 @@ def watermarked_rollup_final_state(spark: SparkSession, events_dir: str,
          .start())
     q.awaitTermination()
     return final
+
+
+def dedup_new_offsets_stream(events: DataFrame,
+                             state_timeout: str = "NoTimeout"
+                             ) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per
+    (repo, path) key, remember the highest offset ever emitted and pass
+    through ONLY events with a strictly higher offset — cross-batch
+    redelivery dedup at the stream layer, the in-stream complement of
+    the lake's offset-checkpoint dedup (cdc/pipeline).
+
+    State per key is a single long (the high watermark): at 10^9 keys
+    that is the minimal possible stateful footprint, hash-partitioned
+    by the state-store shuffle on the grouping key. Emitted rows keep
+    the event schema, so the CDC pipeline can consume the deduped
+    stream unchanged.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    out_schema = events.schema
+    state_schema = StructType([StructField("hwm", LongType())])
+
+    def _dedup(key, pdfs, state):
+        hwm = state.get[0] if state.exists else -1
+        # offsets emitted THIS batch: a key's rows may arrive in
+        # several pandas chunks, so intra-batch duplicates must be
+        # tracked across chunks, not just inside one
+        seen: set = set()
+        best = hwm
+        for pdf in pdfs:
+            fresh = pdf[pdf["offset"] > hwm]
+            if len(fresh):
+                fresh = fresh.drop_duplicates(subset=["offset"])
+                fresh = fresh[~fresh["offset"].isin(seen)]
+            if len(fresh):
+                seen.update(int(o) for o in fresh["offset"])
+                m = int(fresh["offset"].max())
+                if m > best:
+                    best = m
+                yield fresh
+        if best > hwm:
+            state.update((best,))
+
+    timeout = getattr(GroupStateTimeout, state_timeout)
+    return (events.groupBy("repo", "path")
+            .applyInPandasWithState(_dedup, out_schema, state_schema,
+                                    "update", timeout))

@@ -89,3 +89,57 @@ def test_watermark_drops_late_events(spark, tmp_path):
              .collect())
     bmap = {r["h"].hour: (r["n"], r["sv"]) for r in batch}
     assert bmap[1] == (2, 100.0)
+
+
+def test_stateful_offset_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: per-key offset high
+    watermark survives micro-batch boundaries — redelivered and
+    duplicate offsets never re-emit."""
+    from pyspark.sql.types import (LongType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    from grate_spark.streaming import dedup_new_offsets_stream
+
+    schema = StructType([
+        StructField("offset", LongType()),
+        StructField("partition", IntegerType()),
+        StructField("op", StringType()),
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ])
+
+    def ev(off):
+        return (off, 0, "I", "r", "a.csv", f"c{off}", "csv", "x")
+
+    # trigger 1: offsets 1, 2 and an intra-batch duplicate of 2;
+    # trigger 2: redelivery of 2 (cross-batch dup) plus fresh 3
+    feeds = [[ev(1), ev(2), ev(2)], [ev(2), ev(3)]]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, rows in enumerate(feeds):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        src = [fn for fn in os.listdir(d) if fn.endswith(".parquet")][0]
+        dst = os.path.join(flat, f"{i}.parquet")
+        os.link(os.path.join(d, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    emitted = []
+
+    def _sink(df, bid):
+        emitted.append((bid, sorted(r["offset"] for r in df.collect())))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(flat))
+    q = (dedup_new_offsets_stream(stream)
+         .writeStream.outputMode("update").foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    per_batch = {b: offs for b, offs in emitted if offs}
+    assert per_batch == {0: [1, 2], 1: [3]}, emitted
