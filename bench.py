@@ -30,6 +30,13 @@ def _time_df(df) -> float:
 def run_suite(spark, sf_dir: str, repeat: int = 1) -> dict[str, float]:
     from grate_spark.queries import QUERIES
 
+    # untimed warmup: spin the Arrow/python-worker pool and the common
+    # codegen shapes (scan+agg, broadcast join+window) once, so the
+    # alphabetically-first timed query doesn't absorb process startup
+    for warm in ("token_counts", "cosine_topk"):
+        if warm in QUERIES:
+            QUERIES[warm][0](spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(QUERIES.items()):
         best = None
