@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from . import (md5_bigint_expr, md5_bigint_sql, word_shingles_expr,
                word_shingles_sql)
-from ..queries_util import table
+from ..queries_util import spread, table
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band r = 2
@@ -60,7 +60,7 @@ def _with_minhash(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc MinHash signature (first SAMPLE_DOCS docs)."""
-    docs = table(spark, sf, "documents")
+    docs = spread(table(spark, sf, "documents"))
     return (_with_minhash(docs)
             .filter(F.col("doc_id") < SAMPLE_DOCS)
             .orderBy("doc_id"))
@@ -98,7 +98,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket
     (b=4 bands x r=2 rows over the 8-hash signature), oversized
     buckets dropped (MAX_BUCKET)."""
-    mh = _with_minhash(table(spark, sf, "documents"))
+    mh = _with_minhash(spread(table(spark, sf, "documents")))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws(":", f"mh{2 * b}", f"mh{2 * b + 1}")
@@ -167,7 +167,7 @@ def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """SIMHASH_BITS-bit SimHash per doc: explode tokens, per-bit signed
     vote, reassemble. One shuffle (groupBy doc_id), partial aggregation
     map-side."""
-    docs = table(spark, sf, "documents")
+    docs = spread(table(spark, sf, "documents"))
     toks = docs.select("doc_id",
                        F.explode(F.split("text", " ")).alias("tok"))
     h = toks.withColumn("h", F.expr(md5_bigint_expr("tok", "sim")))
@@ -217,7 +217,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     same n_chars), oversized blocks dropped (MAX_BLOCK). This is the
     cheap deterministic blocking variant; ``lsh_jaccard_neardups`` below
     is the scale path (LSH candidates -> exact verify)."""
-    docs = (table(spark, sf, "documents")
+    docs = (spread(table(spark, sf, "documents"))
             .withColumn("toks", F.split("text", " "))
             .filter(F.size("toks") >= 2)
             .withColumn("grams",
@@ -277,7 +277,7 @@ def lsh_jaccard_neardups(spark: SparkSession, sf: str) -> DataFrame:
     (replaces the quadratic-on-skew (lang, n_chars) blocking)."""
     cands = (minhash_lsh_pairs(spark, sf)
              .select("doc_a", "doc_b"))
-    grams = (table(spark, sf, "documents")
+    grams = (spread(table(spark, sf, "documents"))
              .withColumn("toks", F.split("text", " "))
              .filter(F.size("toks") >= 3)
              .withColumn("grams",

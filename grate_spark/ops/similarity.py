@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries_util import table
+from ..queries_util import spread, table
 
 N_QUERIES = 5      # vec_id < 5 are the query vectors
 TOP_K = 3
@@ -58,7 +58,7 @@ def _argmax_assignment(assigned: DataFrame, payload: str = "v",
 
 
 def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = spread(table(spark, sf, "embeddings")).select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < N_QUERIES) \
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qv"))
@@ -95,7 +95,7 @@ ORDER BY query_id, rank
 
 
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = spread(table(spark, sf, "embeddings")).select("vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS) \
         .select(F.col("vec_id").alias("centroid_id"),
                 F.col("embedding").alias("cv"))
@@ -183,7 +183,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Gate query: embeddings table + seeded perturbed twins →
     near-dup pairs. The seeded twins guarantee non-zero rows so the
     pair/threshold logic is certified, not vacuously green."""
-    base = (table(spark, sf, "embeddings")
+    base = (spread(table(spark, sf, "embeddings"))
             .select("vec_id",
                     F.expr("transform(embedding, x -> cast(x as double))")
                     .alias("v")))
@@ -358,7 +358,7 @@ def ann_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
     spherical k-means (seedless init = lowest vec_ids, fixed
     iterations, 6-dp rounding) then nprobe=1 search for IVF_QUERIES.
     The DuckDB oracle replays the identical Lloyd iterations in SQL."""
-    emb = table(spark, sf, "embeddings").select(
+    emb = spread(table(spark, sf, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
     cents = train_ivf_centroids(emb, k=TRAINED_K, iters=TRAINED_ITERS)
