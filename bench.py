@@ -31,9 +31,10 @@ def run_suite(spark, sf_dir: str, repeat: int = 1) -> dict[str, float]:
     from grate_spark.queries import QUERIES
 
     # untimed warmup: spin the Arrow/python-worker pool and the common
-    # codegen shapes (scan+agg, broadcast join+window) once, so the
-    # alphabetically-first timed query doesn't absorb process startup
-    for warm in ("token_counts", "cosine_topk"):
+    # codegen shapes (scan+agg, broadcast join+window, Pandas-UDF with
+    # the numpy/pandas worker imports) once, so the alphabetically-first
+    # timed queries don't absorb process startup
+    for warm in ("token_counts", "cosine_topk", "multimodal_features"):
         if warm in QUERIES:
             QUERIES[warm][0](spark, sf_dir).collect()
 
