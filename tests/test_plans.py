@@ -152,3 +152,21 @@ def test_bucket_blobs_fuses_extract_into_write(spark):
     below_udf = plan[plan.index("MapInPandas"):]
     assert re.search(r"Exchange hashpartitioning\(cast\(pmod", below_udf), \
         plan
+
+
+def test_spread_preserves_pruning_and_parallelism(spark):
+    """spread() fans an unsplittable scan out before heavy per-row
+    compute — column pruning must still reach the scan BELOW the
+    round-robin exchange, and the exchange itself must be present."""
+    from grate_spark.queries import QUERIES
+
+    df = QUERIES["minhash_signatures"][0](spark, SF)
+    plan = simple_plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, plan[:2000]
+    # pruned to the needed columns only: no n_chars/source/created_at
+    for ln in scans:
+        assert "n_chars" not in ln and "source" not in ln, ln
+        assert "text" in ln and "doc_id" in ln, ln
+    # the fan-out exchange exists (RoundRobinPartitioning)
+    assert "RoundRobinPartitioning" in plan, plan[:2000]
