@@ -181,7 +181,8 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
                           rows_per_file: int | None = None,
                           n_batches: int | None = None,
                           workdir: str | None = None,
-                          events_path: str | None = None) -> dict:
+                          events_path: str | None = None,
+                          n_trials: int | None = None) -> dict:
     """Materialize a bench event log, then time a full checkpointed
     replay. Returns events/sec plus breakdowns.
 
@@ -193,12 +194,21 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
     scaling study runs the SAME parquet through both parallelism
     levels); generated there if absent. The lake always lives in a
     fresh tempdir.
+
+    ``n_trials`` (env GRATE_BENCH_TRIALS, default 3): the timed replay
+    runs this many times on FRESH lake tempdirs over the SAME event
+    parquet, and ``events_per_sec`` is the MEDIAN trial. This VM's
+    hypervisor has multi-second steal epochs: a single-shot replay is a
+    coin-flip (447 vs 262 ev/s round-over-round on an unchanged
+    engine), while the median of >=3 back-to-back trials absorbs one
+    bad epoch. Raw per-trial numbers stay in ``samples``/``trials``.
     """
     n_files = n_files or int(os.environ.get("GRATE_BENCH_FILES", "6000"))
     rows_per_file = rows_per_file or int(
         os.environ.get("GRATE_BENCH_ROWS", "100"))
     n_batches = n_batches or int(os.environ.get("GRATE_BENCH_BATCHES",
                                                 "4"))
+    n_trials = n_trials or int(os.environ.get("GRATE_BENCH_TRIALS", "3"))
     fmt = os.environ.get("GRATE_BENCH_FMT", "mixed")
     own_tmp = workdir is None
     if workdir is None:
@@ -208,7 +218,6 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         workdir = tempfile.mkdtemp(prefix="grate-replay-bench-", dir=base)
     ev_path = events_path or os.path.join(workdir, "events.parquet")
-    lake_root = os.path.join(workdir, "lake")
     try:
         if not os.path.exists(ev_path):
             bench_events(spark, sf_dir, n_files=n_files,
@@ -216,25 +225,41 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
                 .write.mode("overwrite").parquet(ev_path)
         events = spark.read.parquet(ev_path)
         n_events = events.count()
-
-        pipe = CdcPipeline(spark, lake_root, n_buckets=64,
-                           wide_view=False)
         batch = max(1, (n_events + n_batches - 1) // n_batches)
-        t0 = time.perf_counter()
-        stats = pipe.replay(events, batch_size=batch)
-        elapsed = time.perf_counter() - t0
 
-        n_rows = pipe.results().count()
-        return {"events_per_sec": round(n_events / elapsed, 2),
-                "n_events": n_events,
-                "n_result_rows": n_rows,
+        trials = []
+        for i in range(n_trials):
+            lake_root = os.path.join(workdir, f"lake{i}")
+            pipe = CdcPipeline(spark, lake_root, n_buckets=64,
+                               wide_view=False)
+            t0 = time.perf_counter()
+            stats = pipe.replay(events, batch_size=batch)
+            elapsed = time.perf_counter() - t0
+            trials.append({
+                "events_per_sec": round(n_events / elapsed, 2),
                 "replay_seconds": round(elapsed, 3),
+                "batch_seconds": [round(s.get("seconds", 0), 2)
+                                  for s in stats],
+                "n_result_rows": pipe.results().count()})
+            if i < n_trials - 1:
+                shutil.rmtree(lake_root, ignore_errors=True)
+
+        # median trial by throughput (lower-median for even n: the
+        # conservative pick)
+        ordered = sorted(trials, key=lambda t: t["events_per_sec"])
+        med = ordered[(len(ordered) - 1) // 2]
+        return {"events_per_sec": med["events_per_sec"],
+                "n_events": n_events,
+                "n_result_rows": med["n_result_rows"],
+                "replay_seconds": med["replay_seconds"],
                 "n_batches": n_batches,
                 "n_files": n_files,
                 "fmt": fmt,
                 "rows_per_file": rows_per_file,
-                "batch_seconds": [round(s.get("seconds", 0), 2)
-                                  for s in stats]}
+                "batch_seconds": med["batch_seconds"],
+                "n_trials": n_trials,
+                "samples": [t["events_per_sec"] for t in trials],
+                "trials": trials}
     finally:
         if own_tmp:
             shutil.rmtree(workdir, ignore_errors=True)

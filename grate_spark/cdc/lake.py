@@ -626,8 +626,11 @@ class Transaction:
         # the MoR read below resolves this table's file lists from the
         # COMMITTED shard/inline state, so compact must be this txn's
         # first operation on the table
-        assert not any(n == name for n, _b in self._dirty), \
-            f"compact({name!r}) must precede other writes in a txn"
+        if any(n == name for n, _b in self._dirty):
+            raise RuntimeError(
+                f"compact({name!r}) must precede other writes to that "
+                "table in a txn: the MoR read resolves committed state "
+                "and would silently drop rows staged earlier")
         schema = StructType.fromJson(
             json.loads(t["schemas"][t["schema_id"]]))
         live = self.cat.read(name, {"tables": self.tables, "version": -1})

@@ -176,8 +176,16 @@ class CdcPipeline:
                      F.grouping("_b").alias("_gb"))
                 .collect())
             _mark("part stats")
-            total = next(r for r in rolled
-                         if r["_gp"] == 1 and r["_gb"] == 1)
+            # grouping sets over ZERO input rows yield ZERO output rows
+            # (not a single all-null total row), so an empty batch —
+            # e.g. a range containing only non-tabular paths — must
+            # short-circuit here; the caller advances the checkpoint
+            # via its committed:False branch
+            total = next((r for r in rolled
+                          if r["_gp"] == 1 and r["_gb"] == 1), None)
+            if total is None:
+                return {"batch_id": batch_id, "n_events": 0,
+                        "committed": False, "lo": lo, "hi": hi}
             part_rows = sorted((r for r in rolled if r["_gp"] == 0),
                                key=lambda r: r["partition"])
             # raw event count per bucket (deletes/duplicates included —

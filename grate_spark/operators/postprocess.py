@@ -63,6 +63,10 @@ def typed_column(rows: DataFrame, position: int, target: str,
     error), so a user porting strict-Scan code sees the mismatch
     instead of a silent NULL.
     """
+    if target not in _STRICT_TAGS:
+        raise ValueError(
+            f"typed_column: unsupported target {target!r}; expected one "
+            f"of {sorted(_STRICT_TAGS)} (grate.go:40-44 scan targets)")
     cell = F.try_element_at("cells", F.lit(position))
     if target == "bool":
         low = F.lower(cell)

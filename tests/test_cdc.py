@@ -767,3 +767,57 @@ def test_replay_bucket_blobs_mode_equivalence(spark, tmp_path):
             "error"]
     assert state_fingerprint(default.results(), cols) == \
         state_fingerprint(fused.results(), cols)
+
+
+def test_replay_non_tabular_only_range_advances_checkpoint(spark, tmp_path):
+    """ADVICE r4 (high): grouping-sets aggregation over ZERO input rows
+    yields ZERO output rows, so a batch range containing only
+    non-tabular paths used to raise StopIteration inside apply_batch and
+    wedge the replay at that offset range forever. It must instead take
+    the committed:False path and advance the checkpoint."""
+    from grate_spark.cdc.events import EVENT_COLS
+    rows = [
+        (1, 0, "I", "r", "README.md", "c1", "md", "hello"),
+        (2, 0, "I", "r", "notes.txt", "c2", "txt", "world"),
+        (3, 0, "I", "r", "data.csv", "c3", "csv", "a,b\n1,2"),
+    ]
+    events = spark.createDataFrame(rows, list(EVENT_COLS))
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=False)
+    # batch 1 covers offsets (0,2]: both events non-tabular -> empty
+    # batch after the suffix filter; batch 2 covers the csv
+    stats = pipe.replay(events, batch_size=2)
+    assert int(pipe.lake.checkpoint()["global"]) == 3
+    skipped = [s for s in stats if not s.get("committed")]
+    committed = [s for s in stats if s.get("committed")]
+    assert len(skipped) == 1 and skipped[0]["n_events"] == 0
+    assert len(committed) == 1 and committed[0]["n_events"] == 1
+    # both grid rows of the csv blob (header + data line) landed
+    assert pipe.results().filter(F.col("path") == "data.csv").count() == 2
+
+
+def test_typed_column_rejects_unknown_target(spark):
+    """ADVICE r4: an unrecognized Scan target must fail loudly, not
+    degrade to an empty strict-tag list / silent string passthrough."""
+    from grate_spark.operators.postprocess import typed_column
+    df = spark.createDataFrame([(["1"], "i")], "cells array<string>, types string")
+    with pytest.raises(ValueError, match="unsupported target"):
+        typed_column(df, 1, "decimal")
+    with pytest.raises(ValueError, match="unsupported target"):
+        typed_column(df, 1, "decimal", strict=True)
+
+
+def test_compact_after_write_raises_not_assert(spark, tmp_path):
+    """ADVICE r4: compact()'s ordering precondition must survive
+    python -O (RuntimeError, not a bare assert)."""
+    lake = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")
+    txn = lake.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), 4)
+    txn.commit()
+    txn2 = lake.begin()
+    txn2.merge_replace_keys("t", df, df.select("repo", "path"),
+                            ("repo", "path"), 4)
+    with pytest.raises(RuntimeError, match="must precede"):
+        txn2.compact("t")
