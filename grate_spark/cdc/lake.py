@@ -182,6 +182,22 @@ class LakeCatalog:
     def lineage(self) -> list[dict]:
         return list(self.manifest().get("lineage", []))
 
+    def marker_bucket_counts(self, name: str) -> dict[int, int]:
+        """Distinct marker keys per merge bucket — the density signal
+        incremental compaction uses to pick which buckets to rewrite
+        (markers are stored unbucketed, so this is one small job over
+        the marker files, never the data)."""
+        t = self.manifest()["tables"].get(name) or {}
+        markers, _bytes = self._markers(t)
+        if markers is None:
+            return {}
+        key_cols = tuple(t["key_cols"])
+        rows = (markers.select(*key_cols).distinct()
+                .groupBy(_bucket_expr(key_cols, t["n_buckets"])
+                         .alias("b"))
+                .count().collect())
+        return {int(r["b"]): int(r["count"]) for r in rows}
+
     # -- reads ----------------------------------------------------------------
 
     def table_schema(self, name: str) -> StructType | None:
@@ -615,13 +631,30 @@ class Transaction:
                      for fs in files.values() for e in fs]
         return {"buckets": touched, "files": new_paths}
 
-    def compact(self, name: str) -> None:
-        """Fold markers into the data: rewrite every bucket with only
-        live rows, drop all marker files. The maintenance analog of
-        Iceberg rewrite_data_files + rewrite_position_delete_files; run
-        periodically, off the ingest critical path."""
+    def compact(self, name: str,
+                buckets: list[int] | None = None) -> None:
+        """Fold markers into the data. The maintenance analog of Iceberg
+        rewrite_data_files + rewrite_position_delete_files; run
+        periodically, off the ingest critical path.
+
+        ``buckets=None``: full compaction — rewrite every bucket with
+        only live rows, drop all marker files.
+
+        ``buckets=[...]``: INCREMENTAL compaction — rewrite only the
+        chosen buckets (pick them by marker density, see
+        ``LakeCatalog.marker_bucket_counts``) and shrink the marker set
+        to the keys of the remaining buckets. Cost is O(chosen buckets'
+        data + markers), never O(table): at 10^10 events a full rewrite
+        is an O(table) job on the maintenance path, while bucket-at-a-
+        time keeps each maintenance commit bounded. Untouched buckets'
+        shard pointers are not dirtied — their commit metadata is
+        byte-identical. Rewritten rows are stamped with THIS commit's
+        sequence so any marker the shrink job races with (none today —
+        single txn) could never supersede them."""
         t = self.tables.get(name)
         if not t or not t.get("markers"):
+            return
+        if buckets is not None and not buckets:
             return
         # the MoR read below resolves this table's file lists from the
         # COMMITTED shard/inline state, so compact must be this txn's
@@ -633,10 +666,50 @@ class Transaction:
                 "and would silently drop rows staged earlier")
         schema = StructType.fromJson(
             json.loads(t["schemas"][t["schema_id"]]))
-        live = self.cat.read(name, {"tables": self.tables, "version": -1})
-        files = self._write_bucketed(name, t, live, schema, None)
-        self._replace_buckets(name, t, files)
+        if buckets is None:
+            live = self.cat.read(name,
+                                 {"tables": self.tables, "version": -1})
+            files = self._write_bucketed(name, t, live, schema, None)
+            self._replace_buckets(name, t, files)
+            t["markers"] = {}
+            return
+
+        chosen = sorted({int(b) for b in buckets})
+        key_cols = tuple(t["key_cols"])
+        nb = t["n_buckets"]
+        seq = self.base["version"] + 1
+        live = self.cat.read(name,
+                             {"tables": self.tables, "version": -1},
+                             buckets=chosen) \
+            .withColumn("_seq", F.lit(seq).cast("long"))
+        files = self._write_bucketed(name, t, live, schema, chosen,
+                                     extra_cols=("_seq",))
+        for b in chosen:
+            # a chosen bucket that compacted to zero live rows drops its
+            # shard at commit (empty entry list)
+            self._bucket_cache[(name, str(b))] = list(
+                files.get(str(b), []))
+            self._dirty.add((name, str(b)))
+
+        # shrink the marker set: keys hashing into the compacted buckets
+        # are folded into the data; the rest keep their tombstones
+        markers, _bytes = self.cat._markers(t)
         t["markers"] = {}
+        if markers is not None:
+            kept = markers.filter(
+                ~_bucket_expr(key_cols, nb).isin(chosen))
+            rel = self._stage_dir(name + ".markers")
+            full = os.path.join(self.cat.root, rel)
+            kept.coalesce(1).write.mode("overwrite").parquet(full)
+            entries = [{"path": os.path.join(rel, fn),
+                        "schema_id": t["schema_id"],
+                        "bytes": os.path.getsize(os.path.join(full, fn))}
+                       for fn in sorted(os.listdir(full))
+                       if fn.endswith(".parquet")]
+            # an all-chosen compaction leaves zero marker keys; keep the
+            # (tiny) empty file entry — the read path handles it and the
+            # growth trigger sees near-zero bytes
+            t["markers"] = {"_all": entries}
 
     def set_checkpoint(self, offsets: dict[str, int],
                        lineage_entry: dict | None = None,

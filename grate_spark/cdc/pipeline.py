@@ -424,8 +424,21 @@ class CdcPipeline:
                 n_bytes = sum(e.get("bytes", 0) for e in entries)
                 if (len(entries) > compact_after_markers
                         or n_bytes > compact_after_marker_bytes):
+                    # INCREMENTAL: rewrite only the marker-dense buckets
+                    # (>= the mean marker-key count), so maintenance is
+                    # O(chosen buckets), never O(table); remaining
+                    # buckets keep their tombstones and get picked up by
+                    # a later trigger. At 10^10 events a full-table
+                    # rewrite on the maintenance path would dwarf the
+                    # ingest itself.
+                    counts = self.lake.marker_bucket_counts(tname)
+                    chosen = None
+                    if counts:
+                        mean = sum(counts.values()) / len(counts)
+                        chosen = [b for b, c in counts.items()
+                                  if c >= mean]
                     txn = self.lake.begin()
-                    txn.compact(tname)
+                    txn.compact(tname, buckets=chosen)
                     txn.commit()
                     m = self.lake.manifest()
         return results
