@@ -94,11 +94,41 @@ MAX_BUCKET = 20  # LSH stop-bucket cap: larger buckets are degenerate
                  # quadratic; production dedup pipelines drop them
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket
-    (b=4 bands x r=2 rows over the 8-hash signature), oversized
-    buckets dropped (MAX_BUCKET)."""
-    mh = _with_minhash(spread(table(spark, sf, "documents")))
+class CapMetrics:
+    """No-silent-caps surface for the dedup stop-bucket/-block drops.
+
+    The drop counts ride the run itself as a Spark ``Observation`` on
+    the bucket-stats aggregation — zero extra jobs. Read ``dropped``
+    AFTER the query's action completes (collect/write); before that it
+    blocks, exactly like Observation.get. A 100 TB run reads this to
+    see its recall loss instead of silently under-reporting pairs."""
+
+    def __init__(self) -> None:
+        self._obs = None
+
+    @property
+    def dropped(self) -> dict:
+        return dict(self._obs.get) if self._obs is not None else {}
+
+
+def _observe_cap(stats: DataFrame, count_col: str, cap: int,
+                 metrics: "CapMetrics | None", name: str) -> DataFrame:
+    if metrics is None:
+        return stats
+    from pyspark.sql import Observation
+    over = F.col(count_col) > cap
+    obs = Observation(name)
+    metrics._obs = obs
+    return stats.observe(
+        obs,
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_groups"),
+        F.sum(F.when(over, F.col(count_col)).otherwise(0))
+        .alias("dropped_rows"))
+
+
+def _lsh_pairs_from(docs: DataFrame,
+                    cap_metrics: CapMetrics | None = None) -> DataFrame:
+    mh = _with_minhash(docs)
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws(":", f"mh{2 * b}", f"mh{2 * b + 1}")
@@ -111,10 +141,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # side (signatures recomputed ~12x); the exchange computes the tiny
     # (doc_id, band, key) rows once and is reused by all three readers
     buckets = buckets.repartition("band", "key")
-    small = (buckets.groupBy("band", "key")
-             .agg(F.count("*").alias("_n"))
-             .filter(F.col("_n") <= MAX_BUCKET)
-             .drop("_n"))
+    stats = (buckets.groupBy("band", "key")
+             .agg(F.count("*").alias("_n")))
+    stats = _observe_cap(stats, "_n", MAX_BUCKET, cap_metrics,
+                         "lsh-stop-buckets")
+    small = stats.filter(F.col("_n") <= MAX_BUCKET).drop("_n")
     buckets = buckets.join(small, ["band", "key"])
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -125,6 +156,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("b.doc_id").alias("doc_b"))
             .distinct()
             .orderBy("doc_a", "doc_b"))
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf: str,
+                      cap_metrics: CapMetrics | None = None) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket
+    (b=4 bands x r=2 rows over the 8-hash signature), oversized
+    buckets dropped (MAX_BUCKET; pass ``cap_metrics`` to observe the
+    drop counts on the run)."""
+    return _lsh_pairs_from(spread(table(spark, sf, "documents")),
+                           cap_metrics)
 
 
 def _lsh_pairs_sql() -> str:
@@ -212,9 +253,12 @@ MAX_BLOCK = 50  # blocked-Jaccard cap: a popular (lang, n_chars) block
                 # stop-bucket treatment as LSH's MAX_BUCKET
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def ngram_jaccard_pairs(spark: SparkSession, sf: str,
+                        cap_metrics: CapMetrics | None = None
+                        ) -> DataFrame:
     """Exact word-2-gram Jaccard for blocked candidate pairs (same lang +
-    same n_chars), oversized blocks dropped (MAX_BLOCK). This is the
+    same n_chars), oversized blocks dropped (MAX_BLOCK; pass
+    ``cap_metrics`` to observe the drop counts on the run). This is the
     cheap deterministic blocking variant; ``lsh_jaccard_neardups`` below
     is the scale path (LSH candidates -> exact verify)."""
     docs = (spread(table(spark, sf, "documents"))
@@ -225,10 +269,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
                             F.expr(word_shingles_expr(
                                 "toks", 2, from_tokens=True))))
             .select("doc_id", "lang", "n_chars", "grams"))
-    small = (docs.groupBy("lang", "n_chars")
-             .agg(F.count("*").alias("_n"))
-             .filter(F.col("_n") <= MAX_BLOCK)
-             .drop("_n"))
+    stats = (docs.groupBy("lang", "n_chars")
+             .agg(F.count("*").alias("_n")))
+    stats = _observe_cap(stats, "_n", MAX_BLOCK, cap_metrics,
+                         "jaccard-stop-blocks")
+    small = stats.filter(F.col("_n") <= MAX_BLOCK).drop("_n")
     docs = docs.join(small, ["lang", "n_chars"])
     a = docs.alias("a")
     b = docs.alias("b")

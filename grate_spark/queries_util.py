@@ -20,6 +20,17 @@ def spread(df: DataFrame) -> DataFrame:
     exchange of the slim pruned columns costs microseconds against the
     compute it parallelizes; at cluster scale (many row groups per
     file) the same exchange stays a rounding error. Apply AFTER column
-    pruning, BEFORE the heavy expressions."""
+    pruning, BEFORE the heavy expressions.
+
+    CONDITIONAL: a scan that already yields >= defaultParallelism
+    partitions (the cluster case — many files/row groups) skips the
+    exchange entirely; fanning out an already-parallel scan is a pure
+    waste of one shuffle at 100x scale. The partition probe is plan
+    analysis only (no job)."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:
+        pass  # un-probe-able plan: fall through to the safe fan-out
     return df.repartition(par)

@@ -96,7 +96,10 @@ def watermarked_rollup_final_state(spark: SparkSession, events_dir: str,
 
 
 def dedup_new_offsets_stream(events: DataFrame,
-                             state_timeout: str = "NoTimeout"
+                             state_timeout: str = "NoTimeout",
+                             ttl: str | None = None,
+                             ts_col: str = "ts",
+                             watermark_delay: str | None = None
                              ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per
     (repo, path) key, remember the highest offset ever emitted and pass
@@ -109,21 +112,49 @@ def dedup_new_offsets_stream(events: DataFrame,
     by the state-store shuffle on the grouping key. Emitted rows keep
     the event schema, so the CDC pipeline can consume the deduped
     stream unchanged.
+
+    ``ttl`` (e.g. ``"2 hours"``): event-time TTL — the scale-correct
+    default for churny key spaces. The stream is watermarked on
+    ``ts_col`` (delay ``watermark_delay``, default ``ttl``) and a key's
+    HWM state is EVICTED once the watermark passes its newest event
+    time + ttl, so the store tracks the ACTIVE key set, not every key
+    ever seen (unbounded at 10^9 keys with churn under NoTimeout). A
+    stale offset redelivered after eviction passes the STREAM layer,
+    but the lake's offset checkpoint still rejects it end-to-end
+    (``offset > ckpt`` in CdcPipeline) — gate-tested.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (LongType, StructField, StructType)
+
+    use_ttl = ttl is not None
+    if use_ttl:
+        state_timeout = "EventTimeTimeout"
+        events = events.withWatermark(ts_col, watermark_delay or ttl)
+        ttl_ms = _duration_ms(ttl)
 
     out_schema = events.schema
     state_schema = StructType([StructField("hwm", LongType())])
 
     def _dedup(key, pdfs, state):
+        if use_ttl and state.hasTimedOut:
+            # watermark passed this key's horizon: drop its HWM. A
+            # later redelivery below the evicted HWM re-emits here and
+            # is rejected by the lake's offset checkpoint instead.
+            state.remove()
+            return
         hwm = state.get[0] if state.exists else -1
         # offsets emitted THIS batch: a key's rows may arrive in
         # several pandas chunks, so intra-batch duplicates must be
         # tracked across chunks, not just inside one
         seen: set = set()
         best = hwm
+        max_ts_ms = None
         for pdf in pdfs:
+            if use_ttl and len(pdf):
+                m = pdf[ts_col].max()
+                ms = int(m.value // 1_000_000)
+                if max_ts_ms is None or ms > max_ts_ms:
+                    max_ts_ms = ms
             fresh = pdf[pdf["offset"] > hwm]
             if len(fresh):
                 fresh = fresh.drop_duplicates(subset=["offset"])
@@ -136,8 +167,27 @@ def dedup_new_offsets_stream(events: DataFrame,
                 yield fresh
         if best > hwm:
             state.update((best,))
+        if use_ttl and max_ts_ms is not None:
+            # eviction horizon rides the key's newest event time, so an
+            # active key keeps extending its own lease
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
 
     timeout = getattr(GroupStateTimeout, state_timeout)
     return (events.groupBy("repo", "path")
             .applyInPandasWithState(_dedup, out_schema, state_schema,
                                     "update", timeout))
+
+
+_DUR_UNITS = {"ms": 1, "millisecond": 1, "milliseconds": 1,
+              "s": 1000, "second": 1000, "seconds": 1000,
+              "m": 60_000, "minute": 60_000, "minutes": 60_000,
+              "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+              "d": 86_400_000, "day": 86_400_000, "days": 86_400_000}
+
+
+def _duration_ms(s: str) -> int:
+    """Parse a Spark-style duration string ('2 hours', '30 seconds')."""
+    parts = s.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _DUR_UNITS:
+        raise ValueError(f"unsupported duration: {s!r}")
+    return int(float(parts[0]) * _DUR_UNITS[parts[1].lower()])

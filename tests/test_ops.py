@@ -159,3 +159,51 @@ def test_ivf_empty_cluster_keeps_centroid(spark):
     cents = train_ivf_centroids(df, 3, iters=2)
     assert len(cents) == 3
     assert all(len(v) == 4 for _cid, v in cents)
+
+
+def test_lsh_cap_metrics_report_dropped_buckets(spark):
+    """No-silent-caps: a degenerate LSH bucket (25 identical docs >
+    MAX_BUCKET=20) is dropped AND the drop is observable — all 4 band
+    buckets of the clone cluster counted, the small cluster's pair
+    survives."""
+    from grate_spark.ops.dedup import (CapMetrics, MAX_BUCKET, N_BANDS,
+                                       _lsh_pairs_from)
+
+    clones = [(i, "en", "the same exact text repeated verbatim")
+              for i in range(25)]
+    twins = [(100, "en", "a quite different small doc here"),
+             (101, "en", "a quite different small doc here")]
+    docs = spark.createDataFrame(clones + twins,
+                                 "doc_id long, lang string, text string")
+    m = CapMetrics()
+    pairs = _lsh_pairs_from(docs, cap_metrics=m).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(100, 101)}  # clone-cluster pairs were capped away
+    d = m.dropped
+    assert d["dropped_groups"] == N_BANDS
+    assert d["dropped_rows"] == N_BANDS * 25
+    assert 25 > MAX_BUCKET  # fixture really oversized
+
+
+def test_jaccard_cap_metrics_report_dropped_blocks(spark, tmp_path, monkeypatch):
+    """No-silent-caps for the (lang, n_chars) blocking: one block of 60
+    docs (> MAX_BLOCK=50) is dropped and counted; the 2-doc block's
+    pair survives."""
+    from grate_spark.ops.dedup import CapMetrics, ngram_jaccard_pairs
+
+    big = [(i, "doc-a", f"src{i}", "en", 10, "common words here",
+            None) for i in range(60)]
+    ok = [(100, "doc-b", "s", "en", 20, "two identical texts", None),
+          (101, "doc-b", "s", "en", 20, "two identical texts", None)]
+    docs = spark.createDataFrame(
+        big + ok,
+        "doc_id long, title string, source string, lang string, "
+        "n_chars int, text string, created_at timestamp")
+    p = str(tmp_path / "sf")
+    os.makedirs(p)
+    docs.write.parquet(os.path.join(p, "documents.parquet"))
+    m = CapMetrics()
+    pairs = ngram_jaccard_pairs(spark, p, cap_metrics=m).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(100, 101)}
+    d = m.dropped
+    assert d["dropped_groups"] == 1 and d["dropped_rows"] == 60

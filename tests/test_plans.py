@@ -170,3 +170,23 @@ def test_spread_preserves_pruning_and_parallelism(spark):
         assert "text" in ln and "doc_id" in ln, ln
     # the fan-out exchange exists (RoundRobinPartitioning)
     assert "RoundRobinPartitioning" in plan, plan[:2000]
+
+
+def test_spread_skips_exchange_on_already_parallel_input(spark, tmp_path):
+    """spread() is conditional: a scan that already yields >= the
+    session's parallelism takes the direct path (no round-robin
+    exchange), while the single-row-group sf tables keep the fan-out
+    (asserted by test_spread_preserves_pruning_and_parallelism)."""
+    from grate_spark.queries_util import spread
+
+    par = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "many.parquet")
+    spark.range(10_000).repartition(par * 2).write.parquet(p)
+    wide = spark.read.parquet(p)
+    assert wide.rdd.getNumPartitions() >= par
+    plan = simple_plan(spread(wide))
+    assert "RoundRobinPartitioning" not in plan, plan[:2000]
+
+    narrow = spark.read.parquet(p).coalesce(1)
+    plan2 = simple_plan(spread(narrow))
+    assert "RoundRobinPartitioning" in plan2, plan2[:2000]

@@ -143,3 +143,89 @@ def test_stateful_offset_dedup_across_batches(spark, tmp_path):
 
     per_batch = {b: offs for b, offs in emitted if offs}
     assert per_batch == {0: [1, 2], 1: [3]}, emitted
+
+
+def test_streaming_dedup_event_time_ttl_evicts_idle_state(spark, tmp_path):
+    """Event-time TTL on the stateful offset dedup: an idle key's HWM
+    state is evicted once the watermark passes its horizon — a stale
+    offset redelivered AFTER eviction re-emits at the stream layer (the
+    eviction proof) while an ACTIVE key's lease keeps extending and its
+    duplicates stay deduped. End-to-end the lake's offset checkpoint
+    still rejects the re-emitted stale offset (tested below)."""
+    import datetime as dt
+
+    from grate_spark.cdc.pipeline import CdcPipeline
+    from grate_spark.streaming import dedup_new_offsets_stream
+
+    schema = StructType([
+        StructField("offset", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("op", StringType()),
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ])
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(off, path, hours):
+        return (off, t0 + dt.timedelta(hours=hours), "I", "r", path,
+                f"c{off}", "csv", "a,b\n1,2")
+
+    feeds = [
+        [ev(5, "a.csv", 0), ev(6, "b.csv", 0)],     # A and B seen
+        [ev(100, "b.csv", 3)],                      # watermark -> t0+2h
+        [ev(101, "b.csv", 3)],                      # A idle: EVICTED here
+        [ev(5, "a.csv", 3), ev(100, "b.csv", 3)],   # stale redeliveries
+    ]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, rows in enumerate(feeds):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        src = [fn for fn in os.listdir(d) if fn.endswith(".parquet")][0]
+        dst = os.path.join(flat, f"{i}.parquet")
+        os.link(os.path.join(d, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    emitted = []
+
+    def _sink(df, bid):
+        emitted.append((bid, sorted(r["offset"] for r in df.collect())))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(flat))
+    q = (dedup_new_offsets_stream(stream, ttl="1 hour")
+         .writeStream.outputMode("update").foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    per_batch = {b: offs for b, offs in emitted if offs}
+    # batch 3: A's offset 5 RE-EMITS (state was evicted), while the
+    # still-leased B drops its duplicate 100
+    assert per_batch == {0: [5, 6], 1: [100], 2: [101], 3: [5]}, emitted
+
+    # end-to-end: the lake offset checkpoint rejects the stale 5
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=False)
+    live = spark.createDataFrame(
+        [(off, 0, op, r, p, c, lg, ct) for (off, _ts, op, r, p, c, lg, ct)
+         in [feeds[0][0], feeds[0][1], feeds[1][0], feeds[2][0]]],
+        "offset long, partition int, op string, repo string, "
+        "path string, commit string, lang string, content string")
+    pipe.replay(live)
+    ckpt = int(pipe.lake.checkpoint()["global"])
+    assert ckpt == 101
+    stale = spark.createDataFrame(
+        [(5, 0, "I", "r", "a.csv", "c5", "csv", "a,b\n9,9")],
+        "offset long, partition int, op string, repo string, "
+        "path string, commit string, lang string, content string")
+    res = pipe.apply_batch(stale, lo=ckpt, hi=ckpt + 1,
+                           batch_id=99)
+    assert res["n_events"] == 0 and not res["committed"]
+    row = pipe.results().filter(
+        (F.col("path") == "a.csv") & (F.col("row_id") == 1)).collect()
+    assert [r["cells"] for r in row] == [["1", "2"]]
