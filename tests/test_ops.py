@@ -207,3 +207,71 @@ def test_jaccard_cap_metrics_report_dropped_blocks(spark, tmp_path, monkeypatch)
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(100, 101)}
     d = m.dropped
     assert d["dropped_groups"] == 1 and d["dropped_rows"] == 60
+
+
+def test_trained_ivf_nprobe_recall_gate(spark):
+    """The production recall lever, gated: over the SEEDED corpus (each
+    query's true nearest neighbor is its perturbed twin, cos ~0.9999),
+    trained-IVF search must recover >=0.9 of the brute-force top-3 at a
+    small nprobe — a near-identical pair that lands in different probe
+    sets would mean the coarse quantizer is broken. Also re-pins the
+    monotone recall ladder on the raw corpus: recall(1) <= recall(2) <=
+    recall(3) with recall(3) >= 0.9 (measured 0.53 / 0.80 / 1.00)."""
+    from pyspark.sql import Window
+
+    from grate_spark.ops.similarity import (
+        _cos_expr, _PERTURB_SPARK, NEARDUP_SEED_OFFSET, TRAINED_K,
+        TRAINED_ITERS, ann_topk_trained, train_ivf_centroids)
+
+    emb = _emb_double(spark, SF)
+
+    # -- seeded-twin corpus: originals 0..9 get twins at +OFFSET
+    pert = (emb.filter(F.col("vec_id") < 10)
+            .select((F.col("vec_id") + NEARDUP_SEED_OFFSET)
+                    .alias("vec_id"),
+                    F.expr(_PERTURB_SPARK).alias("v")))
+    seeded = emb.unionAll(pert)
+    qids = list(range(10))
+    cents = train_ivf_centroids(seeded, k=TRAINED_K, iters=TRAINED_ITERS)
+
+    def recall(corpus, queries, centroids, nprobe):
+        q = corpus.filter(F.col("vec_id").isin(queries)) \
+            .selectExpr("vec_id AS query_id", "v AS qv")
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                   "vec_id")
+        gt = (corpus.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cos", F.expr(_cos_expr("qv", "v")))
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3).select("query_id", "vec_id")
+              .collect())
+        gtset = {(r["query_id"], r["vec_id"]) for r in gt}
+        res = ann_topk_trained(corpus, queries, centroids, top_k=3,
+                               nprobe=nprobe).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in res}
+        return len(got & gtset) / len(gtset)
+
+    # the coarse quantizer must co-bucket near-identical vectors: every
+    # query finds its twin in the FIRST probe
+    res1 = ann_topk_trained(seeded, qids, cents, top_k=3,
+                            nprobe=1).collect()
+    got1 = {(r["query_id"], r["neighbor_id"]) for r in res1}
+    assert all((q, q + NEARDUP_SEED_OFFSET) in got1 for q in qids)
+    # full recall@3 vs brute force climbs with nprobe and crosses 0.9
+    # at nprobe=3 (k=4 quantizer: measured 0.867 @2, 1.0 @3 seeded;
+    # at production k in the hundreds the same recall needs a far
+    # smaller nprobe/k fraction)
+    s2 = recall(seeded, qids, cents, nprobe=2)
+    s3 = recall(seeded, qids, cents, nprobe=3)
+    assert s2 >= 0.85
+    assert s3 >= 0.9
+
+    # -- raw corpus: the ladder to >=0.9
+    cents_raw = train_ivf_centroids(emb, k=TRAINED_K,
+                                    iters=TRAINED_ITERS)
+    raw_q = [8, 9, 10, 11, 12]
+    r1 = recall(emb, raw_q, cents_raw, 1)
+    r2 = recall(emb, raw_q, cents_raw, 2)
+    r3 = recall(emb, raw_q, cents_raw, 3)
+    assert r1 <= r2 <= r3
+    assert r3 >= 0.9
