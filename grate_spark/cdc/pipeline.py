@@ -43,14 +43,25 @@ METRICS_TABLE = "ingest_metrics"
 MERGE_KEY = ("repo", "path")
 
 
-def _wide_view(rows: DataFrame, n_cols: int) -> DataFrame:
+def _wide_view(rows: DataFrame, n_cols: int,
+               max_cols: int = 256) -> DataFrame:
     """Schema-evolution surface: cells exploded to typed-width string
     columns c001..cNNN. When a batch's widest sheet exceeds the table's
     current width, the MERGE widens the schema (column-add) in the same
-    commit."""
+    commit.
+
+    ``max_cols`` guards the table width: ONE pathological 16k-column
+    sheet would otherwise widen results_wide permanently for every
+    reader (schema evolution is add-only). Positions past the cap land
+    in a single ``c_overflow`` array column, so over-wide rows still
+    round-trip losslessly while the scan schema stays bounded."""
+    width = min(n_cols, max_cols)
     cols = [rows[c] for c in ("repo", "path", "sheet", "row_id")]
     cols += [F.try_element_at("cells", F.lit(i + 1)).alias(f"c{i + 1:03d}")
-             for i in range(n_cols)]
+             for i in range(width)]
+    if n_cols > max_cols:
+        cols.append(F.slice("cells", max_cols + 1, n_cols - max_cols)
+                    .alias("c_overflow"))
     return rows.filter(F.col("error").isNull()).select(*cols)
 
 
@@ -60,13 +71,15 @@ class CdcPipeline:
                  wide_view: bool = True,
                  broadcast_winners_max: int = 1_000_000,
                  bucket_blobs: bool | None = None,
-                 salt_buckets: bool | None = None):
+                 salt_buckets: bool | None = None,
+                 wide_max_cols: int = 256):
         self.spark = spark
         self.lake = LakeCatalog(spark, lake_root)
         self.n_buckets = n_buckets
         self.n_partitions = n_partitions or int(
             spark.sparkContext.defaultParallelism)
         self.wide_view = wide_view
+        self.wide_max_cols = wide_max_cols
         self.force_repartition = n_partitions is not None
         # bucket_blobs (default ON): exchange the winning BLOBS on the
         # merge bucket BEFORE extraction instead of exchanging the
@@ -315,7 +328,8 @@ class CdcPipeline:
                 # (scan -> project -> encode in one fused stage).
                 written = self.spark.read.parquet(*stats["files"])
                 txn.merge_replace_keys(WIDE_TABLE,
-                                       _wide_view(written, max_cols),
+                                       _wide_view(written, max_cols,
+                                                  self.wide_max_cols),
                                        all_keys, MERGE_KEY,
                                        self.n_buckets, touched=touched,
                                        pre_partitioned=True)

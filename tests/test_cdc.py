@@ -905,3 +905,40 @@ def test_replay_auto_compaction_is_incremental(spark, tmp_path):
                       wide_view=False)
     ref.replay(events, compact_after_markers=None)
     assert fp_compacted == state_fingerprint(ref.results())
+
+
+def test_wide_view_width_guard_spillover(spark, tmp_path):
+    """One pathological over-wide sheet must not widen results_wide past
+    the cap: positions past wide_max_cols land in a single c_overflow
+    array and the row still round-trips losslessly."""
+    from grate_spark.cdc.events import EVENT_COLS
+    from grate_spark.cdc.pipeline import WIDE_TABLE
+
+    wide_cells = [str(i) for i in range(30)]
+    body = ",".join(wide_cells) + "\nx,y"
+    events = spark.createDataFrame(
+        [(1, 0, "I", "r", "wide.csv", "c1", "csv", body),
+         (2, 0, "I", "r", "slim.csv", "c2", "csv", "a,b\n1,2")],
+        list(EVENT_COLS))
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=True, wide_max_cols=8)
+    pipe.replay(events)
+
+    wide = pipe.results_wide()
+    ccols = [c for c in wide.columns if c.startswith("c0")]
+    assert len(ccols) == 8 and "c_overflow" in wide.columns
+    assert len(wide.columns) == 4 + 8 + 1  # keys + cap + spillover
+
+    r0 = wide.filter((F.col("path") == "wide.csv")
+                     & (F.col("row_id") == 0)).collect()[0]
+    got = [r0[f"c{i + 1:03d}"] for i in range(8)] + list(r0["c_overflow"])
+    assert got == wide_cells
+    # the narrow row of the same sheet: overflow slice is empty
+    r1 = wide.filter((F.col("path") == "wide.csv")
+                     & (F.col("row_id") == 1)).collect()[0]
+    assert [r1["c001"], r1["c002"]] == ["x", "y"]
+    assert list(r1["c_overflow"]) == []
+    # the slim sheet's rows: overflow NULL-or-empty, values intact
+    s = wide.filter((F.col("path") == "slim.csv")
+                    & (F.col("row_id") == 1)).collect()[0]
+    assert [s["c001"], s["c002"]] == ["1", "2"]
