@@ -143,6 +143,22 @@ class LakeCatalog:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
+    def manifest_at(self, version: int) -> dict:
+        """The manifest as of ``version`` (time travel). Raises a clear
+        error when that manifest has been pruned by vacuum() — history
+        is retained up to vacuum's ``keep_manifests`` horizon, exactly
+        like Iceberg expire_snapshots."""
+        if version == 0:
+            return {"version": 0, "tables": {}, "checkpoint": {},
+                    "lineage": []}
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise KeyError(
+                f"lake: no manifest v{version} (never committed, or "
+                "expired by vacuum keep_manifests)")
+        with open(path) as f:
+            return json.load(f)
+
     def checkpoint(self) -> dict[str, int]:
         return dict(self.manifest().get("checkpoint", {}))
 
@@ -297,6 +313,130 @@ class LakeCatalog:
                     .drop("_mseq"))
         return data.drop("_seq")
 
+    def read_version(self, name: str, version: int,
+                     buckets: list[int] | None = None) -> DataFrame:
+        """Time-travel snapshot read: the table exactly as of manifest
+        ``version``. Pure metadata dispatch — data/marker files are
+        immutable once written, so the historical read is the same MoR
+        plan over the old manifest's file set (bucket pruning included).
+        Valid while vacuum() retains the version; after expiry the read
+        raises. [Iceberg: SELECT ... VERSION AS OF]"""
+        return self.read(name, manifest=self.manifest_at(version),
+                         buckets=buckets)
+
+    def changes(self, name: str, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Incremental changelog (CDC-out): every row-level change
+        committed to ``name`` in versions (from_version, to_version],
+        with ``_change_type`` ('insert' | 'upsert' | 'delete') and
+        ``_commit_version`` columns. [Iceberg: incremental append scan;
+        Delta: table_changes/CDF]
+
+        Cost is O(delta), never O(table): each commit's manifest records
+        the exact data/marker files its ops added (``ops`` metadata), so
+        the changelog is a union over just those files — no snapshot
+        diffing, no full-table read. Downstream consumers poll
+        ``changes(last_seen)`` to stay in sync without re-reading the
+        table; applying upserts+deletes in commit order onto the
+        ``from_version`` snapshot reproduces the ``to_version`` snapshot
+        (equivalence is gate-tested).
+
+        Semantics per commit op:
+          merge  -> its new rows emit as 'upsert' (the reference CDC
+                    path re-extracts whole files, so an update replaces
+                    the key's rows wholesale; insert-vs-update is not
+                    distinguished — doing so would cost a prior-state
+                    read); its marker keys with NO new rows emit as
+                    'delete' (key cols set, data cols null).
+          append -> new rows emit as 'insert'.
+          compact/vacuum -> no logical change; skipped.
+          replace -> snapshot replacement has no row-level delta;
+                    raises ValueError (consumers must re-read).
+        """
+        to_version = self.current_version() if to_version is None \
+            else to_version
+        if to_version <= from_version:
+            m = self.manifest()
+            t = m["tables"].get(name)
+            schema = StructType.fromJson(
+                json.loads(t["schemas"][t["schema_id"]])) if t \
+                else StructType([])
+            return self.spark.createDataFrame([], self._changes_schema(schema))
+        man_to = self.manifest_at(to_version)
+        t_to = man_to["tables"].get(name)
+        if not t_to:
+            raise KeyError(f"lake: no such table {name!r} at "
+                           f"v{to_version}")
+        current = StructType.fromJson(
+            json.loads(t_to["schemas"][t_to["schema_id"]]))
+        out_schema = self._changes_schema(current)
+        key_cols = list(t_to["key_cols"])
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            man = man_to if v == to_version else self.manifest_at(v)
+            for op in man.get("ops", []):
+                if op.get("table") != name:
+                    continue
+                kind = op.get("op")
+                if kind in ("compact",):
+                    continue
+                if kind == "replace":
+                    raise ValueError(
+                        f"lake: v{v} replaced {name!r} wholesale — no "
+                        "row-level changelog exists; re-read the table")
+                if kind not in ("merge", "append"):
+                    continue
+                sid = op.get("schema_id", t_to["schema_id"])
+                fs = StructType.fromJson(
+                    json.loads(t_to["schemas"][sid]))
+                paths = [os.path.join(self.root, p)
+                         for p in op.get("files", [])]
+                rows = None
+                if paths:
+                    rows = _align(
+                        self.spark.read.schema(fs).parquet(*paths),
+                        current)
+                    parts.append(rows.select(
+                        *[F.col(f.name) for f in current.fields],
+                        F.lit("upsert" if kind == "merge"
+                              else "insert").alias("_change_type"),
+                        F.lit(v).cast("long").alias("_commit_version")))
+                mpaths = [os.path.join(self.root, p)
+                          for p in op.get("markers", [])]
+                if kind == "merge" and mpaths:
+                    keys = self.spark.read.parquet(*mpaths) \
+                        .select(*key_cols).distinct()
+                    if rows is not None:
+                        # deletes = touched keys that contributed no new
+                        # rows; the new-rows side of one commit is
+                        # O(batch), so the anti-join is delta-sized
+                        keys = keys.join(
+                            rows.select(*key_cols).distinct(),
+                            key_cols, "left_anti")
+                    null_cols = [
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in current.fields
+                        if f.name not in key_cols]
+                    parts.append(keys.select(
+                        *[F.col(k) for k in key_cols], *null_cols)
+                        .select(*[F.col(f.name) for f in current.fields],
+                                F.lit("delete").alias("_change_type"),
+                                F.lit(v).cast("long")
+                                .alias("_commit_version")))
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _changes_schema(row_schema: StructType) -> StructType:
+        return StructType(
+            list(row_schema.fields)
+            + [StructField("_change_type", StringType(), False),
+               StructField("_commit_version", LongType(), False)])
+
     def begin(self) -> "Transaction":
         return Transaction(self)
 
@@ -415,6 +555,13 @@ class Transaction:
         # shard pointers untouched (O(batch) commit metadata)
         self._bucket_cache: dict[tuple[str, str], list[dict]] = {}
         self._dirty: set[tuple[str, str]] = set()
+        # per-commit op journal, published in the manifest: each entry
+        # names the op and (for merge/append) the exact data/marker
+        # files it added, so the changelog reader (LakeCatalog.changes)
+        # is an O(delta) file union with no snapshot diffing. Size is
+        # O(touched buckets) per commit — same order as the shard
+        # pointers the commit writes anyway.
+        self._ops: list[dict] = []
 
     # -- helpers ---------------------------------------------------------------
 
@@ -525,6 +672,7 @@ class Transaction:
                               self._write_bucketed(name, t, df, schema,
                                                    None))
         t["markers"] = {}
+        self._ops.append({"op": "replace", "table": name})
 
     def append(self, name: str, df: DataFrame,
                key_cols: tuple[str, ...] = (),
@@ -533,9 +681,12 @@ class Transaction:
         t = self._ensure_table(name, df.schema,
                                key_cols or tuple(df.columns[:1]), n_buckets)
         schema = self._evolve_schema(t, df.schema)
-        for b, fs in self._write_bucketed(name, t, df, schema,
-                                          None).items():
+        files = self._write_bucketed(name, t, df, schema, None)
+        for b, fs in files.items():
             self._extend_bucket(name, t, b, fs)
+        self._ops.append({
+            "op": "append", "table": name, "schema_id": t["schema_id"],
+            "files": [e["path"] for fs in files.values() for e in fs]})
 
     def append_rows(self, name: str, rows: list[tuple],
                     schema: StructType) -> None:
@@ -564,10 +715,12 @@ class Transaction:
         os.makedirs(bdir, exist_ok=True)
         fn = os.path.join(bdir, "part-00000.parquet")
         pq.write_table(table, fn)
+        rel_path = os.path.join(rel, "_bucket=0", os.path.basename(fn))
         self._extend_bucket(name, t, "0", [
-            {"path": os.path.join(rel, "_bucket=0",
-                                  os.path.basename(fn)),
-             "schema_id": t["schema_id"]}])
+            {"path": rel_path, "schema_id": t["schema_id"]}])
+        self._ops.append({"op": "append", "table": name,
+                          "schema_id": t["schema_id"],
+                          "files": [rel_path]})
 
     def merge_replace_keys(self, name: str, new_rows: DataFrame,
                            delete_keys: DataFrame,
@@ -627,6 +780,10 @@ class Transaction:
                    if fn.endswith(".parquet")]
         t["markers"].setdefault("_all", []).extend(entries)
 
+        self._ops.append({
+            "op": "merge", "table": name, "schema_id": t["schema_id"],
+            "files": [e["path"] for fs in files.values() for e in fs],
+            "markers": [e["path"] for e in entries]})
         new_paths = [os.path.join(self.cat.root, e["path"])
                      for fs in files.values() for e in fs]
         return {"buckets": touched, "files": new_paths}
@@ -656,6 +813,7 @@ class Transaction:
             return
         if buckets is not None and not buckets:
             return
+        self._ops.append({"op": "compact", "table": name})
         # the MoR read below resolves this table's file lists from the
         # COMMITTED shard/inline state, so compact must be this txn's
         # first operation on the table
@@ -749,7 +907,8 @@ class Transaction:
         manifest = {"version": version,
                     "tables": self.tables,
                     "checkpoint": self.checkpoint,
-                    "lineage": self.lineage}
+                    "lineage": self.lineage,
+                    "ops": self._ops}
         tmp = self.cat._manifest_path(version) + f".{self.txn_id}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)

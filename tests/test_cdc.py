@@ -112,6 +112,138 @@ def test_lake_schema_evolution_on_merge(spark, tmp_path):
     assert rows["b"] == (2.5, "new")
 
 
+def _three_version_lake(spark, tmp_path):
+    """v1: insert p1(2 rows)+p2; v2: replace p1 (shrink), delete p2,
+    insert p3; v3: compact. Returns the catalog."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    txn = cat.begin()
+    base = spark.createDataFrame(
+        [("r", "p1", 0, "x"), ("r", "p1", 1, "y"), ("r", "p2", 0, "z")],
+        "repo string, path string, row_id int, v string")
+    txn.merge_replace_keys("t", base, base.select("repo", "path"),
+                           ("repo", "path"), n_buckets=4)
+    txn.commit()
+    txn2 = cat.begin()
+    new = spark.createDataFrame([("r", "p1", 0, "X"), ("r", "p3", 0, "w")],
+                                "repo string, path string, row_id int, "
+                                "v string")
+    keys = spark.createDataFrame([("r", "p1"), ("r", "p2"), ("r", "p3")],
+                                 "repo string, path string")
+    txn2.merge_replace_keys("t", new, keys, ("repo", "path"), n_buckets=4)
+    txn2.commit()
+    txn3 = cat.begin()
+    txn3.compact("t")
+    txn3.commit()
+    return cat
+
+
+def test_lake_time_travel_read_version(spark, tmp_path):
+    cat = _three_version_lake(spark, tmp_path)
+    assert cat.current_version() == 3
+
+    v1 = sorted((r["path"], r["row_id"], r["v"])
+                for r in cat.read_version("t", 1).collect())
+    assert v1 == [("p1", 0, "x"), ("p1", 1, "y"), ("p2", 0, "z")]
+    v2 = sorted((r["path"], r["row_id"], r["v"])
+                for r in cat.read_version("t", 2).collect())
+    assert v2 == [("p1", 0, "X"), ("p3", 0, "w")]
+    # compaction is logically invisible: v3 == v2 == current
+    v3 = sorted((r["path"], r["row_id"], r["v"])
+                for r in cat.read_version("t", 3).collect())
+    assert v3 == v2
+    cur = sorted((r["path"], r["row_id"], r["v"])
+                 for r in cat.read("t").collect())
+    assert cur == v2
+    with pytest.raises(KeyError, match="no manifest"):
+        cat.read_version("t", 99)
+
+
+def test_lake_changes_feed(spark, tmp_path):
+    cat = _three_version_lake(spark, tmp_path)
+
+    c1 = cat.changes("t", 0, 1).collect()
+    assert sorted((r["path"], r["row_id"], r["_change_type"],
+                   r["_commit_version"]) for r in c1) == [
+        ("p1", 0, "upsert", 1), ("p1", 1, "upsert", 1),
+        ("p2", 0, "upsert", 1)]
+
+    c2 = cat.changes("t", 1, 2).collect()
+    # p1 shrank to one row (upsert), p2 deleted (key-only row), p3 new
+    assert sorted((r["path"], r["row_id"], r["_change_type"])
+                  for r in c2) == [
+        ("p1", 0, "upsert"), ("p2", None, "delete"), ("p3", 0, "upsert")]
+    del_row = next(r for r in c2 if r["_change_type"] == "delete")
+    assert del_row["repo"] == "r" and del_row["v"] is None
+
+    # compact commit produces no logical changes
+    assert cat.changes("t", 2, 3).count() == 0
+    # open-ended poll from v1 == union of v2+v3 deltas
+    assert cat.changes("t", 1).count() == len(c2)
+    # empty/degenerate window
+    assert cat.changes("t", 3).count() == 0
+
+
+def test_lake_changes_apply_reproduces_snapshot(spark, tmp_path):
+    """The CDC-out contract: applying the changelog (upserts replace a
+    key's rows wholesale, deletes drop the key) onto the from-snapshot
+    reproduces the to-snapshot."""
+    cat = _three_version_lake(spark, tmp_path)
+    base = cat.read_version("t", 1)
+    delta = cat.changes("t", 1, 2)
+    touched = delta.select("repo", "path").distinct()
+    applied = (base.join(touched, ["repo", "path"], "left_anti")
+               .unionByName(delta.filter(F.col("_change_type") != "delete")
+                            .drop("_change_type", "_commit_version")))
+    assert state_fingerprint(applied, ["repo", "path", "row_id", "v"]) \
+        == state_fingerprint(cat.read_version("t", 2),
+                             ["repo", "path", "row_id", "v"])
+
+
+def test_lake_changes_replace_refuses(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([("r", "p", 1)],
+                               "repo string, path string, n int")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    txn2 = cat.begin()
+    txn2.create_or_replace("t", df, ("repo", "path"), n_buckets=2)
+    txn2.commit()
+    with pytest.raises(ValueError, match="replaced"):
+        cat.changes("t", 0).collect()
+    # but a window that excludes the replace commit still reads fine
+    assert cat.changes("t", 0, 1).count() == 1
+
+
+def test_lake_changes_pipeline_end_to_end(spark, tmp_path):
+    """The changelog composes with the real CDC pipeline: replaying a
+    fixture event log batch-by-batch, changes() between the versions of
+    two consecutive commits reflects exactly that batch's file keys."""
+    events = synthetic_doc_events(spark, SF)
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=False)
+    v0 = pipe.lake.current_version()
+    n = events.count()
+    pipe.replay(events, batch_size=max(1, n // 2))
+    v1 = pipe.lake.current_version()
+    delta = pipe.lake.changes("results", v0, v1)
+    # newest-commit-wins reconstruction of the live table from the
+    # feed alone: a key's final state is whatever its LAST commit in
+    # the window said (all upsert rows of that commit, or gone on
+    # delete) — must equal the MoR snapshot read
+    from pyspark.sql import Window
+    w = Window.partitionBy("repo", "path")
+    rebuilt = (delta
+               .withColumn("_vmax", F.max("_commit_version").over(w))
+               .filter((F.col("_commit_version") == F.col("_vmax"))
+                       & (F.col("_change_type") != "delete"))
+               .drop("_change_type", "_commit_version", "_vmax"))
+    w_cols = ["repo", "path", "sheet", "row_id", "content_sha256"]
+    assert state_fingerprint(rebuilt, w_cols) \
+        == state_fingerprint(pipe.results(), w_cols)
+
+
 def test_lake_compaction_preserves_state(spark, tmp_path):
     """compact() folds MoR markers into data files without changing the
     visible table state, and clears all markers."""
@@ -713,10 +845,12 @@ def test_salted_hot_bucket_state_and_speedup(spark, tmp_path):
     times = {"salted": [], "unsalted": []}
     fps = {}
     n_files = {}
-    # best-of-2 per mode: the sandbox VM has documented 30-40% CPU-steal
-    # swings, so a single-sample wall-clock gate would flake; min-of-N
-    # is the standard steal-resistant estimator
-    for attempt in range(2):
+    # best-of-3 per mode: the sandbox VM has documented 30-40% CPU-steal
+    # swings (plus whatever else shares the box during a suite run), so
+    # a single-sample wall-clock gate would flake; min-of-N is the
+    # standard steal-resistant estimator, and the loop exits early the
+    # first time the gate holds
+    for attempt in range(3):
         for mode, salted in (("unsalted", False), ("salted", True)):
             pipe = CdcPipeline(spark,
                                str(tmp_path / f"{mode}{attempt}"),
