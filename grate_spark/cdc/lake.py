@@ -722,6 +722,72 @@ class Transaction:
                           "schema_id": t["schema_id"],
                           "files": [rel_path]})
 
+    def next_seq(self) -> int:
+        """The MoR sequence this transaction's merges will commit at
+        (used by task-side writers that stamp ``_seq`` themselves)."""
+        return self.base["version"] + 1
+
+    def stage_rel(self, table: str) -> str:
+        """Reserve a fresh staging directory (relative to the lake
+        root) for externally-written data files of ``table``. The files
+        become visible only when registered via ``merge_files`` and
+        published by commit; unregistered files are vacuum garbage."""
+        return self._stage_dir(table)
+
+    def merge_files(self, name: str, row_schema: StructType,
+                    entries_by_bucket: dict[str, list[dict]],
+                    delete_keys: DataFrame,
+                    key_cols: tuple[str, ...],
+                    n_buckets: int = 32,
+                    touched: list[int] | None = None) -> dict:
+        """MERGE/upsert where the data files were already written by
+        the caller's tasks (arrow-native fused writer,
+        operators/fused_write.py) into a ``stage_rel`` directory at
+        sequence ``next_seq()``. Registers exactly the given file
+        entries — never a directory listing, so a retried task's
+        orphan partials can't leak in — then writes the key markers
+        and the op journal exactly as ``merge_replace_keys`` does.
+
+        ``entries_by_bucket``: {bucket-id str: [{"path": rel, ...}]}.
+        """
+        t = self._ensure_table(name, row_schema, key_cols, n_buckets)
+        self._evolve_schema(t, row_schema)
+        seq = self.next_seq()
+
+        keys = delete_keys.select(*key_cols).distinct()
+        touched = sorted(set(touched if touched is not None
+                             else (int(b) for b in entries_by_bucket)))
+        if not touched and not entries_by_bucket:
+            return {"buckets": [], "files": []}
+
+        sid = t["schema_id"]
+        files: dict[str, list[dict]] = {}
+        for b, es in entries_by_bucket.items():
+            files[str(b)] = [{"path": e["path"], "schema_id": sid}
+                             for e in es]
+        for b, fs in files.items():
+            self._extend_bucket(name, t, b, fs)
+
+        markers = keys.withColumn("seq", F.lit(seq).cast("long"))
+        rel = self._stage_dir(name + ".markers")
+        full = os.path.join(self.cat.root, rel)
+        markers.coalesce(1).write.mode("overwrite").parquet(full)
+        t.setdefault("markers", {})
+        entries = [{"path": os.path.join(rel, fn),
+                    "schema_id": sid,
+                    "bytes": os.path.getsize(os.path.join(full, fn))}
+                   for fn in sorted(os.listdir(full))
+                   if fn.endswith(".parquet")]
+        t["markers"].setdefault("_all", []).extend(entries)
+
+        self._ops.append({
+            "op": "merge", "table": name, "schema_id": sid,
+            "files": [e["path"] for fs in files.values() for e in fs],
+            "markers": [e["path"] for e in entries]})
+        new_paths = [os.path.join(self.cat.root, e["path"])
+                     for fs in files.values() for e in fs]
+        return {"buckets": touched, "files": new_paths}
+
     def merge_replace_keys(self, name: str, new_rows: DataFrame,
                            delete_keys: DataFrame,
                            key_cols: tuple[str, ...],

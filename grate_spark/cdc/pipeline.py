@@ -72,7 +72,8 @@ class CdcPipeline:
                  broadcast_winners_max: int = 1_000_000,
                  bucket_blobs: bool | None = None,
                  salt_buckets: bool | None = None,
-                 wide_max_cols: int = 256):
+                 wide_max_cols: int = 256,
+                 python_encode: bool | None = None):
         self.spark = spark
         self.lake = LakeCatalog(spark, lake_root)
         self.n_buckets = n_buckets
@@ -102,6 +103,18 @@ class CdcPipeline:
         if salt_buckets is None:
             salt_buckets = _os.environ.get("GRATE_SALT_BUCKETS", "1") == "1"
         self.salt_buckets = salt_buckets
+        # python_encode (default ON, requires bucket_blobs): run the
+        # merge write as the arrow-native fused writer — extraction AND
+        # parquet encode inside the Python worker (pyarrow), only
+        # per-file manifest rows returning to the driver. The JVM half
+        # of the old path (Arrow row transfer back + parquet-mr encode)
+        # was the piece whose task time inflated super-linearly with
+        # local parallelism, while the identical Python loop scales at
+        # the host's CPU ceiling (scripts/twin_scaling.py,
+        # BENCH_TWIN_2_8.json). See operators/fused_write.py.
+        if python_encode is None:
+            python_encode = _os.environ.get("GRATE_PY_ENCODE", "1") == "1"
+        self.python_encode = python_encode and self.bucket_blobs
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are
         # NEVER shuffled; bigger batches fall back to the full-row
@@ -261,6 +274,17 @@ class CdcPipeline:
                 # bucket PER TASK, so a salted bucket lands as n_sub
                 # files — the manifest already supports that.
                 bexpr = _bucket_expr(MERGE_KEY, self.n_buckets)
+                if self.python_encode:
+                    # arrow-native fused writer: attach lineage + the
+                    # JVM-computed bucket BEFORE the exchange, and
+                    # unwrap base64 on the map side so the shuffle
+                    # carries raw bytes (~25% fewer for binary blobs)
+                    from ..operators.extraction import unwrap_content
+                    blobs = unwrap_content(
+                        blobs.withColumn("src_offset",
+                                         F.col("offset")),
+                        keep=("src_offset",)).withColumn("_bucket",
+                                                         bexpr)
                 n_sub = self._salt_plan(bucket_counts, n_events) \
                     if self.salt_buckets else {}
                 k_env = int(_os.environ.get("GRATE_WRITE_TASKS", "0"))
@@ -280,42 +304,75 @@ class CdcPipeline:
                     and self.n_partitions != shuffle_parts:
                 blobs = blobs.repartition(self.n_partitions,
                                           "repo", "path")
-            rows = with_content_sha(extract_files(blobs))
-
-            # lineage columns come from the driving event
-            ev_meta = win_iu.select("repo", "path",
-                                    F.col("offset").alias("src_offset"))
-            rows = rows.join(F.broadcast(ev_meta), ["repo", "path"]) \
-                .withColumn("batch_id", F.lit(batch_id))
-
-            # row stats ride the merge write itself via an Observation —
-            # zero extra jobs, no re-read of the written files (at scale
-            # a re-read is a second pass over the batch's output)
-            from pyspark.sql import Observation
-            obs = Observation(f"cdc-batch-{batch_id}")
-            rows = rows.observe(
-                obs,
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count("error").alias("n_error_rows"),
-                F.max(F.size("cells")).alias("max_cols"))
-
-            # ONE heavy job: extraction fused straight into the MoR
-            # merge write (map-side extract -> bucket shuffle -> write)
             txn = self.lake.begin()
             all_keys = winners.select("repo", "path")
-            stats = txn.merge_replace_keys(RESULTS_TABLE, rows, all_keys,
-                                           MERGE_KEY, self.n_buckets,
-                                           touched=touched,
-                                           pre_partitioned=bucket_blobs)
-            _mark("merge results (extraction fused)")
+            if self.python_encode:
+                # ONE heavy job, arrow-native: each task extracts its
+                # blobs AND encodes parquet with pyarrow inside the
+                # Python worker; only per-file manifest rows (plus the
+                # row stats, free on the same pass) come back. Row
+                # data never re-crosses into the JVM and parquet-mr is
+                # out of the hot path (operators/fused_write.py).
+                from ..operators.fused_write import (ROW_SCHEMA,
+                                                     extract_encode_files)
+                rel = txn.stage_rel(RESULTS_TABLE)
+                full = _os.path.join(self.lake.root, rel)
+                manifest = extract_encode_files(
+                    blobs, full, rel, txn.next_seq(),
+                    batch_id).collect()
+                _mark("fused extract->encode (arrow-native)")
+                entries_by_bucket: dict[str, list[dict]] = {}
+                for r in manifest:
+                    entries_by_bucket.setdefault(
+                        str(r["bucket"]), []).append({"path": r["path"]})
+                stats = txn.merge_files(RESULTS_TABLE, ROW_SCHEMA,
+                                        entries_by_bucket, all_keys,
+                                        MERGE_KEY, self.n_buckets,
+                                        touched=touched)
+                n_rows = int(sum(r["n_rows"] for r in manifest))
+                n_error_rows = int(sum(r["n_error_rows"]
+                                       for r in manifest))
+                max_cols = int(max((r["max_cols"] for r in manifest),
+                                   default=0))
+                _mark("register files + markers")
+            else:
+                rows = with_content_sha(extract_files(blobs))
 
-            # the merge's write action completed, so the observed
-            # metrics are available without touching the data again
-            vals = obs.get
-            n_rows = int(vals["n_rows"] or 0)
-            n_error_rows = int(vals["n_error_rows"] or 0)
-            max_cols = int(vals["max_cols"] or 0)
-            _mark("row stats (observed on the merge write)")
+                # lineage columns come from the driving event
+                ev_meta = win_iu.select(
+                    "repo", "path", F.col("offset").alias("src_offset"))
+                rows = rows.join(F.broadcast(ev_meta),
+                                 ["repo", "path"]) \
+                    .withColumn("batch_id", F.lit(batch_id))
+
+                # row stats ride the merge write itself via an
+                # Observation — zero extra jobs, no re-read of the
+                # written files (at scale a re-read is a second pass
+                # over the batch's output)
+                from pyspark.sql import Observation
+                obs = Observation(f"cdc-batch-{batch_id}")
+                rows = rows.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("error").alias("n_error_rows"),
+                    F.max(F.size("cells")).alias("max_cols"))
+
+                # ONE heavy job: extraction fused straight into the MoR
+                # merge write (map-side extract -> bucket shuffle ->
+                # write)
+                stats = txn.merge_replace_keys(
+                    RESULTS_TABLE, rows, all_keys, MERGE_KEY,
+                    self.n_buckets, touched=touched,
+                    pre_partitioned=bucket_blobs)
+                _mark("merge results (extraction fused)")
+
+                # the merge's write action completed, so the observed
+                # metrics are available without touching the data again
+                vals = obs.get
+                n_rows = int(vals["n_rows"] or 0)
+                n_error_rows = int(vals["n_error_rows"] or 0)
+                max_cols = int(vals["max_cols"] or 0)
+                _mark("row stats (observed on the merge write)")
 
             if self.wide_view and stats["files"]:
                 # the wide merge needs the typed-width projection, whose
@@ -350,6 +407,7 @@ class CdcPipeline:
                  "partitions": part_stats,
                  "buckets": stats["buckets"]})
             txn.commit()
+            _mark("manifest commit")
             return {"batch_id": batch_id, "n_events": n_events,
                     "n_rows": n_rows, "n_error_rows": n_error_rows,
                     "committed": True, "lo": lo, "hi": hi}
@@ -399,7 +457,14 @@ class CdcPipeline:
         compaction runs, reads stay correct regardless: the MoR read
         switches from broadcast to shuffle join past the broadcast
         budget (lake.read)."""
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("GRATE_CDC_TIMING") == "1"
+        _t = _time.perf_counter()
         hwm_row = events.agg(F.max("offset").alias("h")).collect()[0]
+        if _dbg:
+            print(f"    [replay] hwm scan: "
+                  f"{_time.perf_counter() - _t:.2f}s", flush=True)
         hwm = hwm_row["h"] or 0
         results = []
         n = 0
@@ -426,7 +491,12 @@ class CdcPipeline:
                 txn.commit()
             results.append(res)
             n += 1
+        _t = _time.perf_counter()
         self.flush_metrics()
+        if _dbg:
+            print(f"    [replay] flush_metrics: "
+                  f"{_time.perf_counter() - _t:.2f}s", flush=True)
+        _t = _time.perf_counter()
         if compact_after_markers is not None:
             m = self.lake.manifest()
             for tname in (RESULTS_TABLE, WIDE_TABLE):
@@ -455,6 +525,9 @@ class CdcPipeline:
                     txn.compact(tname, buckets=chosen)
                     txn.commit()
                     m = self.lake.manifest()
+        if _dbg:
+            print(f"    [replay] compaction check: "
+                  f"{_time.perf_counter() - _t:.2f}s", flush=True)
         return results
 
     def compact(self) -> None:

@@ -118,22 +118,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]
         yield flush()
 
 
-def extract_files(df: DataFrame) -> DataFrame:
-    """blob rows (repo, path, commit?, lang?, content) -> sheet rows.
-
-    Column pruning: only the needed input columns cross into Arrow.
-    Base64 unwrap happens JVM-SIDE (whole-stage codegen): binary blobs
-    arrive base64-encoded in the string content column (the repo-table
-    contract), and decoding them before the Arrow hop ships raw bytes —
-    ~25% less transfer for binary formats and zero Python-side base64
-    work. The magic-byte gate mirrors ``decode_content``: only payloads
-    that decode to a CFB/ZIP signature are treated as base64; everything
-    else crosses as its UTF-8 bytes and takes the text path unchanged.
-    """
+def unwrap_content(df: DataFrame,
+                   keep: tuple[str, ...] = ()) -> DataFrame:
+    """JVM-side base64 unwrap of the blob column (whole-stage codegen):
+    binary blobs arrive base64-encoded in the string content column
+    (the repo-table contract), and decoding them before the Arrow hop
+    ships raw bytes — ~25% less transfer for binary formats and zero
+    Python-side base64 work. The magic-byte gate mirrors
+    ``decode_content``: only payloads that decode to a CFB/ZIP
+    signature are treated as base64; everything else crosses as its
+    UTF-8 bytes and takes the text path unchanged. ``keep``: extra
+    columns to carry through (e.g. lineage/bucket columns)."""
     from ..extract import CFB_MAGIC, ZIP_MAGIC
 
     cols = [c for c in ("repo", "path", "commit", "lang", "content")
-            if c in df.columns]
+            if c in df.columns] + [c for c in keep if c in df.columns]
     out = df.select(*cols)
     if "content" in cols:
         raw = F.try_to_binary(F.trim(F.col("content")), F.lit("base64"))
@@ -144,7 +143,17 @@ def extract_files(df: DataFrame) -> DataFrame:
                      .alias("content"))
         out = out.select(*[F.col(c) for c in cols if c != "content"],
                          unwrapped)
-    return out.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return out
+
+
+def extract_files(df: DataFrame) -> DataFrame:
+    """blob rows (repo, path, commit?, lang?, content) -> sheet rows.
+
+    Column pruning: only the needed input columns cross into Arrow;
+    base64 unwrap happens JVM-side (see ``unwrap_content``).
+    """
+    return unwrap_content(df).mapInPandas(_extract_batches,
+                                          schema=EXTRACT_SCHEMA)
 
 
 def with_content_sha(df: DataFrame, col: str = "content_sha256") -> DataFrame:

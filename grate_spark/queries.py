@@ -468,6 +468,46 @@ ORDER BY source, row_id
 CDC_REPLAY_STATE_SQL = _cdc_replay_state_sql()
 
 
+def cdc_changes_feed(spark, sf):
+    """CDC-out gate: replay the deterministic I/U/D event log through
+    the engine (as cdc_replay_state does), then reconstruct the final
+    table state FROM THE INCREMENTAL CHANGELOG ALONE —
+    ``lake.changes('results', 0)`` emits every committed row-level
+    upsert/delete with its commit version; newest-commit-wins over
+    that feed must reproduce the live snapshot, so the oracle is the
+    same final-state SQL. Verifies the per-commit op journal, the
+    O(delta) changelog reader, and delete emission end-to-end."""
+    import tempfile
+
+    from grate_spark.cdc.events import oracle_doc_events
+    from grate_spark.cdc.pipeline import RESULTS_TABLE, CdcPipeline
+
+    events = oracle_doc_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="grate-cdc-changes-")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    n = events.count()
+    pipe.replay(events, batch_size=max(4, (n + 2) // 3))
+
+    delta = pipe.lake.changes(RESULTS_TABLE, 0)
+    w = Window.partitionBy("repo", "path")
+    live = (delta
+            .withColumn("_vmax", F.max("_commit_version").over(w))
+            .filter((F.col("_commit_version") == F.col("_vmax"))
+                    & (F.col("_change_type") != "delete"))
+            .drop("_change_type", "_commit_version", "_vmax"))
+    live = live.filter(F.col("error").isNull() & (F.col("row_id") >= 1))
+    return (live.select(
+        F.regexp_replace("path", r"\.csv$", "").alias("source"),
+        "row_id",
+        F.try_element_at("cells", F.lit(1)).cast("long").alias("doc_id"),
+        F.try_element_at("cells", F.lit(2)).alias("lang"),
+        F.try_element_at("cells", F.lit(3)).cast("long")
+        .alias("n_chars"),
+        F.try_element_at("cells", F.lit(4)).cast("long")
+        .alias("quality"))
+        .orderBy("source", "row_id"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column -> byte-level features through the
 # Arrow UDF (decode kernels stubbed; plumbing oracle-checked end-to-end).
@@ -639,6 +679,7 @@ def _training_data_queries() -> dict:
         "extract_typed_scan": (extract_typed_scan,
                                EXTRACT_TYPED_SCAN_SQL),
         "cdc_replay_state": (cdc_replay_state, CDC_REPLAY_STATE_SQL),
+        "cdc_changes_feed": (cdc_changes_feed, CDC_REPLAY_STATE_SQL),
     }
 
 

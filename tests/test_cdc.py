@@ -244,6 +244,30 @@ def test_lake_changes_pipeline_end_to_end(spark, tmp_path):
         == state_fingerprint(pipe.results(), w_cols)
 
 
+def test_python_encode_state_matches_jvm_writer(spark, tmp_path):
+    """The arrow-native fused writer (extract+pyarrow-encode in the
+    Python worker, manifest-registered files) and the JVM writer
+    (Arrow row transfer + parquet-mr via DataFrame.write) must produce
+    IDENTICAL visible state — content columns, lineage columns, wide
+    view, and error rows alike — across a multi-batch I/U/D replay."""
+    events = synthetic_doc_events(spark, SF)
+    n = events.count()
+    fps = {}
+    for mode, enc in (("fused", True), ("jvm", False)):
+        pipe = CdcPipeline(spark, str(tmp_path / mode), n_buckets=8,
+                           wide_view=True, python_encode=enc)
+        assert pipe.python_encode is enc
+        pipe.replay(events, batch_size=max(1, n // 3))
+        cols = CONTENT_COLS + ["fmt", "sheet_idx", "types", "formats",
+                               "src_offset", "batch_id"]
+        fps[mode] = (state_fingerprint(pipe.results(), cols),
+                     state_fingerprint(pipe.results_wide(),
+                                       ["repo", "path", "row_id",
+                                        "c001", "c002", "c003"]),
+                     pipe.results().count())
+    assert fps["fused"] == fps["jvm"]
+
+
 def test_lake_compaction_preserves_state(spark, tmp_path):
     """compact() folds MoR markers into data files without changing the
     visible table state, and clears all markers."""
