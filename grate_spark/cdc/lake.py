@@ -222,21 +222,43 @@ class LakeCatalog:
             return None
         return StructType.fromJson(json.loads(t["schemas"][t["schema_id"]]))
 
-    def _data_union(self, t: dict, buckets: list[int] | None,
-                    current: StructType) -> DataFrame | None:
-        """Union all live data files aligned to current schema + _seq."""
-        target = StructType(list(current.fields)
-                            + [StructField("_seq", LongType(), True)])
+    def _live_entries(self, t: dict, buckets: list[int] | None,
+                      key_eq: dict | None = None):
+        """Yield the data-file entries a read would scan: bucket
+        pruning (skipped buckets' shard files are never even loaded)
+        plus file-level key-bounds skipping (Iceberg data skipping —
+        an entry whose recorded [min,max] range excludes the lookup
+        key is dropped on the driver, zero I/O)."""
         wanted = None if buckets is None else {str(b) for b in buckets}
-        groups: dict[int, list[str]] = {}
         for b in self.table_buckets(t):
             if wanted is not None and b not in wanted:
                 continue
-            # bucket pruning never even loads the skipped buckets'
-            # shard files — metadata cost tracks the read's bucket set
             for entry in self.bucket_entries(t, b):
-                groups.setdefault(entry["schema_id"], []).append(
-                    os.path.join(self.root, entry["path"]))
+                if _bounds_exclude(entry, key_eq):
+                    continue
+                yield entry
+
+    def scan_entries(self, name: str, buckets: list[int] | None = None,
+                     key_eq: dict | None = None,
+                     manifest: dict | None = None) -> list[dict]:
+        """The exact file entries ``read(name, buckets, key_eq)`` would
+        scan after pruning — introspection for tests and ops tooling."""
+        m = manifest or self.manifest()
+        t = m["tables"].get(name)
+        if not t:
+            raise KeyError(f"lake: no such table {name!r}")
+        return list(self._live_entries(t, buckets, key_eq))
+
+    def _data_union(self, t: dict, buckets: list[int] | None,
+                    current: StructType,
+                    key_eq: dict | None = None) -> DataFrame | None:
+        """Union all live data files aligned to current schema + _seq."""
+        target = StructType(list(current.fields)
+                            + [StructField("_seq", LongType(), True)])
+        groups: dict[int, list[str]] = {}
+        for entry in self._live_entries(t, buckets, key_eq):
+            groups.setdefault(entry["schema_id"], []).append(
+                os.path.join(self.root, entry["path"]))
         if not groups:
             return None
         parts = []
@@ -276,22 +298,29 @@ class LakeCatalog:
         return self.spark.read.parquet(*paths), total
 
     def read(self, name: str, manifest: dict | None = None,
-             buckets: list[int] | None = None) -> DataFrame:
+             buckets: list[int] | None = None,
+             key_eq: dict | None = None) -> DataFrame:
         """Snapshot read (merge-on-read): data files minus rows
         superseded by a newer key marker — per-key latest-writer-wins.
 
         ``buckets`` prunes files via the manifest's file->bucket index
         alone — no data scanned for skipped buckets (the flat-file
-        analog of Iceberg partition pruning)."""
+        analog of Iceberg partition pruning). ``key_eq`` ({col: value}
+        over key columns) additionally skips files whose recorded
+        bounds exclude the value, and filters the result to exact
+        equality — see ``read_key`` for the full point-lookup path."""
         m = manifest or self.manifest()
         t = m["tables"].get(name)
         if not t:
             raise KeyError(f"lake: no such table {name!r}")
         current = StructType.fromJson(
             json.loads(t["schemas"][t["schema_id"]]))
-        data = self._data_union(t, buckets, current)
+        data = self._data_union(t, buckets, current, key_eq)
         if data is None:
             return self.spark.createDataFrame([], current)
+        if key_eq:
+            for c, v in key_eq.items():
+                data = data.filter(F.col(c) == F.lit(v))
         markers, marker_bytes = self._markers(t)
         if markers is not None:
             key_cols = list(t["key_cols"])
@@ -323,6 +352,40 @@ class LakeCatalog:
         raises. [Iceberg: SELECT ... VERSION AS OF]"""
         return self.read(name, manifest=self.manifest_at(version),
                          buckets=buckets)
+
+    def read_key(self, name: str, key: dict) -> DataFrame:
+        """Point lookup: all live rows for one merge key, touching the
+        minimum possible data. A FULL key (every key column) routes to
+        its single hash bucket via the same JVM xxhash64 expression the
+        writers use (one 1-row job — never re-derived in Python, so
+        bucketing stays bit-identical), then file-level key bounds skip
+        non-overlapping files inside that bucket; a PARTIAL key skips
+        the bucket route but still bounds-prunes across all buckets.
+        At 10^10 rows this is metadata dispatch + a handful of files,
+        not a table scan."""
+        m = self.manifest()
+        t = m["tables"].get(name)
+        if not t:
+            raise KeyError(f"lake: no such table {name!r}")
+        key_cols = tuple(t["key_cols"])
+        unknown = set(key) - set(
+            f.name for f in StructType.fromJson(
+                json.loads(t["schemas"][t["schema_id"]])).fields)
+        if unknown:
+            raise ValueError(f"lake: read_key({name!r}) got columns "
+                             f"not in the table: {sorted(unknown)}")
+        buckets = None
+        if set(key_cols) <= set(key):
+            current = StructType.fromJson(
+                json.loads(t["schemas"][t["schema_id"]]))
+            kschema = StructType([f for f in current.fields
+                                  if f.name in key_cols])
+            row = self.spark.createDataFrame(
+                [tuple(key[f.name] for f in kschema.fields)], kschema)
+            b = row.select(_bucket_expr(key_cols, t["n_buckets"])
+                           .alias("b")).collect()[0]["b"]
+            buckets = [int(b)]
+        return self.read(name, manifest=m, buckets=buckets, key_eq=key)
 
     def changes(self, name: str, from_version: int,
                 to_version: int | None = None) -> DataFrame:
@@ -534,6 +597,64 @@ class LakeCatalog:
                 "shards_removed": shards_removed}
 
 
+def _footer_key_bounds(full_path: str,
+                       key_cols: tuple[str, ...]) -> dict | None:
+    """Per-file [min,max] of the merge-key columns from the parquet
+    FOOTER (metadata-only read, no data pages) — the Iceberg manifest
+    lower/upper bounds, recovered after the fact for files the JVM
+    writer produced. Parquet string stats may be prefix-truncated
+    (min is a <= prefix, max an incremented prefix), which only WIDENS
+    the range — pruning on it stays safe. Returns None (no pruning,
+    always-read) when any stat is missing.
+
+    Used on the driver for maintenance writes (compact/append), whose
+    file counts are bounded by the op's bucket set; the ingest hot
+    path computes exact bounds in-task (operators/fused_write.py)."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(full_path).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        bounds: dict[str, list] = {}
+        for c in key_cols:
+            i = idx.get(c)
+            if i is None:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo = lo.decode("utf-8", "replace")
+                if isinstance(hi, bytes):
+                    hi = hi.decode("utf-8", "replace")
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            bounds[c] = [mn, mx]
+        return bounds
+    except Exception:
+        return None
+
+
+def _bounds_exclude(entry: dict, key_eq: dict | None) -> bool:
+    """True iff the entry's recorded key bounds prove no row in the
+    file can match ``key_eq``. Entries without bounds are never
+    excluded (correct fallback: scan them)."""
+    if not key_eq:
+        return False
+    b = entry.get("bounds")
+    if not b:
+        return False
+    for c, v in key_eq.items():
+        rng = b.get(c)
+        if rng and rng[0] is not None and rng[1] is not None \
+                and (v < rng[0] or v > rng[1]):
+            return True
+    return False
+
+
 def _bucket_expr(key_cols: tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
                   F.lit(n_buckets)).cast("int")
@@ -656,9 +777,13 @@ class Transaction:
             bdir = os.path.join(full, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    files.setdefault(b, []).append(
-                        {"path": os.path.join(rel, entry, fn),
-                         "schema_id": sid})
+                    e = {"path": os.path.join(rel, entry, fn),
+                         "schema_id": sid}
+                    kb = _footer_key_bounds(os.path.join(bdir, fn),
+                                            key_cols)
+                    if kb:
+                        e["bounds"] = kb
+                    files.setdefault(b, []).append(e)
         return files
 
     # -- operations --------------------------------------------------------------
@@ -763,8 +888,10 @@ class Transaction:
         sid = t["schema_id"]
         files: dict[str, list[dict]] = {}
         for b, es in entries_by_bucket.items():
-            files[str(b)] = [{"path": e["path"], "schema_id": sid}
-                             for e in es]
+            files[str(b)] = [
+                {"path": e["path"], "schema_id": sid,
+                 **({"bounds": e["bounds"]} if e.get("bounds") else {})}
+                for e in es]
         for b, fs in files.items():
             self._extend_bucket(name, t, b, fs)
 
@@ -934,6 +1061,94 @@ class Transaction:
             # (tiny) empty file entry — the read path handles it and the
             # growth trigger sees near-zero bytes
             t["markers"] = {"_all": entries}
+
+    def rebucket(self, name: str, new_n_buckets: int) -> None:
+        """Bucket-spec evolution: rewrite the table under a new bucket
+        count [Iceberg: partition-spec evolution + rewrite_data_files].
+        A table created at 64 buckets cannot stay there at 10^10 rows —
+        per-bucket data outgrows task memory and the write grain stops
+        matching the cluster. Rebucketing is an O(table) maintenance
+        rewrite (run rarely; factor-of-k jumps amortize to O(log)
+        rewrites over a table's lifetime) that folds markers into the
+        data like a full compact, then flips ``n_buckets`` so every
+        later writer/reader routes by the new spec — writers follow the
+        manifest, never a config (CdcPipeline._sync_bucket_spec).
+        Logically invisible to readers and to the changelog.
+
+        Must precede other ops on the table in this txn: the MoR read
+        resolves committed state."""
+        t = self.tables.get(name)
+        if not t:
+            raise KeyError(f"lake: no such table {name!r}")
+        new_n_buckets = int(new_n_buckets)
+        if new_n_buckets < 1:
+            raise ValueError(
+                f"rebucket({name!r}): n_buckets must be >= 1, "
+                f"got {new_n_buckets}")
+        if new_n_buckets == t["n_buckets"]:
+            return
+        if any(n == name for n, _b in self._dirty) or any(
+                op.get("table") == name for op in self._ops):
+            raise RuntimeError(
+                f"rebucket({name!r}) must precede other writes to that "
+                "table in a txn: the MoR read resolves committed state "
+                "and would silently drop rows staged earlier")
+        schema = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        live = self.cat.read(name,
+                             {"tables": self.tables, "version": -1})
+        t["n_buckets"] = new_n_buckets  # _write_bucketed routes by this
+        files = self._write_bucketed(name, t, live, schema, None)
+        self._replace_buckets(name, t, files)
+        t["markers"] = {}
+        self._ops.append({"op": "rebucket", "table": name,
+                          "n_buckets": new_n_buckets})
+
+    def squash_markers(self, name: str) -> int:
+        """Maintenance: rewrite the table's marker set as ONE file
+        holding max(seq) per key. Every merge commit appends a marker
+        file and reads union them all, so between compactions the
+        marker FILE count grows linearly with commits even while the
+        key set stays small. Squashing is O(distinct touched keys) and
+        never touches a data file — the cheap complement to compact()
+        (which folds markers into the data and is O(chosen buckets'
+        data)). Logically invisible: the read's per-key max(seq) is
+        unchanged, and changes() ignores the op. Returns the number of
+        marker files replaced (0 = nothing to do).
+
+        Must precede other ops on the table in this txn: it reads the
+        committed marker state."""
+        t = self.tables.get(name)
+        if not t or not t.get("markers"):
+            return 0
+        if any(op.get("table") == name for op in self._ops):
+            raise RuntimeError(
+                f"squash_markers({name!r}) must precede other writes "
+                "to that table in a txn: it resolves committed marker "
+                "state")
+        entries_before = [e for fs in t["markers"].values() for e in fs]
+        if len(entries_before) <= 1:
+            return 0
+        markers, _bytes = self.cat._markers(t)
+        if markers is None:
+            return 0
+        key_cols = list(t["key_cols"])
+        latest = (markers.groupBy(*key_cols)
+                  .agg(F.max("seq").alias("seq")))
+        rel = self._stage_dir(name + ".markers")
+        full = os.path.join(self.cat.root, rel)
+        # one output file: the marker set is bounded by distinct
+        # touched keys since the last compact — driver-small by
+        # construction (same budget as the read path's broadcast)
+        latest.coalesce(1).write.mode("overwrite").parquet(full)
+        entries = [{"path": os.path.join(rel, fn),
+                    "schema_id": t["schema_id"],
+                    "bytes": os.path.getsize(os.path.join(full, fn))}
+                   for fn in sorted(os.listdir(full))
+                   if fn.endswith(".parquet")]
+        t["markers"] = {"_all": entries}
+        self._ops.append({"op": "squash_markers", "table": name})
+        return len(entries_before)
 
     def set_checkpoint(self, offsets: dict[str, int],
                        lineage_entry: dict | None = None,

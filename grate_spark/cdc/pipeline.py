@@ -121,6 +121,19 @@ class CdcPipeline:
         # latest-wins window (one co-partitioned blob shuffle)
         self.broadcast_winners_max = broadcast_winners_max
         self._pending_metrics: list[tuple] = []
+        self._sync_bucket_spec()
+
+    def _sync_bucket_spec(self, manifest: dict | None = None) -> None:
+        """The manifest's bucket spec is authoritative for an existing
+        results table: writers must bucket incoming rows with the SAME
+        (xxhash64, mod) the readers use for marker routing and point
+        lookups — a constructor n_buckets that disagrees with the
+        table would silently mis-bucket new files. rebucket() evolves
+        the spec; every writer follows the manifest."""
+        m = manifest or self.lake.manifest()
+        t = m.get("tables", {}).get(RESULTS_TABLE)
+        if t:
+            self.n_buckets = int(t["n_buckets"])
 
     def _salt_plan(self, bucket_counts: dict[int, int],
                    n_events: int) -> dict[int, int]:
@@ -324,7 +337,12 @@ class CdcPipeline:
                 entries_by_bucket: dict[str, list[dict]] = {}
                 for r in manifest:
                     entries_by_bucket.setdefault(
-                        str(r["bucket"]), []).append({"path": r["path"]})
+                        str(r["bucket"]), []).append(
+                        {"path": r["path"],
+                         "bounds": {"repo": [r["repo_min"],
+                                             r["repo_max"]],
+                                    "path": [r["path_min"],
+                                             r["path_max"]]}})
                 stats = txn.merge_files(RESULTS_TABLE, ROW_SCHEMA,
                                         entries_by_bucket, all_keys,
                                         MERGE_KEY, self.n_buckets,
@@ -443,7 +461,8 @@ class CdcPipeline:
     def replay(self, events: DataFrame, batch_size: int | None = None,
                max_batches: int | None = None,
                compact_after_markers: int = 256,
-               compact_after_marker_bytes: int = 128 << 20) -> list[dict]:
+               compact_after_marker_bytes: int = 128 << 20,
+               squash_after_marker_files: int = 24) -> list[dict]:
         """Tail the log from the committed checkpoint to its high
         watermark in offset-bounded batches. Restart-safe: the checkpoint
         is read from the last committed manifest.
@@ -456,7 +475,13 @@ class CdcPipeline:
         replay loop (maintenance off the ingest critical path). Until
         compaction runs, reads stay correct regardless: the MoR read
         switches from broadcast to shuffle join past the broadcast
-        budget (lake.read)."""
+        budget (lake.read).
+
+        ``squash_after_marker_files``: when compaction is NOT warranted
+        but the marker FILE count (one per merge commit) outgrows this,
+        squash them into one max(seq)-per-key file — O(marker keys),
+        no data rewrite, so long replays don't degrade reads with
+        thousands of tiny marker unions."""
         import os as _os
         import time as _time
         _dbg = _os.environ.get("GRATE_CDC_TIMING") == "1"
@@ -468,6 +493,7 @@ class CdcPipeline:
         hwm = hwm_row["h"] or 0
         results = []
         n = 0
+        self._sync_bucket_spec()
         while True:
             ckpt = int(self.lake.checkpoint().get("global", 0))
             if ckpt >= hwm:
@@ -525,6 +551,15 @@ class CdcPipeline:
                     txn.compact(tname, buckets=chosen)
                     txn.commit()
                     m = self.lake.manifest()
+                elif (squash_after_marker_files is not None
+                        and len(entries) > squash_after_marker_files):
+                    # not worth a data rewrite yet, but the marker
+                    # union is fragmenting: fold the files (cheap,
+                    # O(marker keys))
+                    txn = self.lake.begin()
+                    txn.squash_markers(tname)
+                    txn.commit()
+                    m = self.lake.manifest()
         if _dbg:
             print(f"    [replay] compaction check: "
                   f"{_time.perf_counter() - _t:.2f}s", flush=True)
@@ -551,6 +586,7 @@ class CdcPipeline:
         and this path produce identical table states.
         """
         def _sink(df: DataFrame, _spark_batch_id: int) -> None:
+            self._sync_bucket_spec()
             ckpt = int(self.lake.checkpoint().get("global", 0))
             fresh = (df.filter(F.col("offset") > ckpt)
                      .filter(F.col("path").rlike(TABULAR_SUFFIX_RE)))

@@ -67,6 +67,13 @@ MANIFEST_SCHEMA = StructType([
     StructField("n_error_rows", LongType()),
     StructField("max_cols", IntegerType()),
     StructField("bytes", LongType()),
+    # per-file merge-key bounds, computed in-task for free on the same
+    # pass (Iceberg manifest lower_bounds/upper_bounds) — the reader
+    # skips files whose range excludes a point-lookup key
+    StructField("repo_min", StringType()),
+    StructField("repo_max", StringType()),
+    StructField("path_min", StringType()),
+    StructField("path_max", StringType()),
 ])
 
 
@@ -126,8 +133,21 @@ class _BucketWriter:
         self.n_rows = 0
         self.n_error_rows = 0
         self.max_cols = 0
+        # merge-key bounds (row[0]=repo, row[1]=path in ROW_SCHEMA
+        # order) — exact min/max, no truncation
+        self.repo_min = self.repo_max = None
+        self.path_min = self.path_max = None
 
     def add(self, row: tuple, n_cells: int, is_error: bool) -> None:
+        repo, path = row[0], row[1]
+        if self.repo_min is None or repo < self.repo_min:
+            self.repo_min = repo
+        if self.repo_max is None or repo > self.repo_max:
+            self.repo_max = repo
+        if self.path_min is None or path < self.path_min:
+            self.path_min = path
+        if self.path_max is None or path > self.path_max:
+            self.path_max = path
         self.buf.append(row)
         self.n_rows += 1
         if is_error:
@@ -155,7 +175,9 @@ class _BucketWriter:
                 "n_rows": self.n_rows,
                 "n_error_rows": self.n_error_rows,
                 "max_cols": self.max_cols,
-                "bytes": os.path.getsize(self.abs_path)}
+                "bytes": os.path.getsize(self.abs_path),
+                "repo_min": self.repo_min, "repo_max": self.repo_max,
+                "path_min": self.path_min, "path_max": self.path_max}
 
 
 def make_extract_encode_fn(out_full: str, out_rel: str, seq: int,

@@ -467,6 +467,56 @@ ORDER BY source, row_id
 
 CDC_REPLAY_STATE_SQL = _cdc_replay_state_sql()
 
+# point lookup = the reconstructed state filtered to one deterministic
+# key (the lexicographically-first surviving source)
+CDC_POINT_LOOKUP_SQL = f"""
+WITH state AS ({CDC_REPLAY_STATE_SQL})
+SELECT * FROM state
+WHERE source = (SELECT min(source) FROM state)
+ORDER BY row_id
+"""
+
+
+def cdc_point_lookup(spark, sf):
+    """Point-lookup gate: replay the deterministic I/U/D event log
+    through the engine, then fetch ONE merge key via
+    ``LakeCatalog.read_key`` — xxhash64 bucket routing plus file-level
+    key-bounds skipping (Iceberg-style data skipping over the fused
+    writer's in-task min/max stats) — and return its final rows. The
+    oracle filters the reconstructed state to the same key, so a
+    pruning bug that skips a live file or resurrects a superseded one
+    breaks the value hash."""
+    import tempfile
+
+    from grate_spark.cdc.events import oracle_doc_events
+    from grate_spark.cdc.pipeline import RESULTS_TABLE, CdcPipeline
+
+    events = oracle_doc_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="grate-cdc-point-")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    n = events.count()
+    pipe.replay(events, batch_size=max(4, (n + 2) // 3))
+
+    live = pipe.results().filter(F.col("error").isNull()
+                                 & (F.col("row_id") >= 1))
+    # deterministic target: min surviving path (bounded driver scalar,
+    # like the replay's hwm)
+    tgt = live.agg(F.min(F.struct("path", "repo")).alias("s")) \
+        .collect()[0]["s"]
+    rows = pipe.lake.read_key(RESULTS_TABLE,
+                              {"repo": tgt["repo"], "path": tgt["path"]})
+    rows = rows.filter(F.col("error").isNull() & (F.col("row_id") >= 1))
+    return (rows.select(
+        F.regexp_replace("path", r"\.csv$", "").alias("source"),
+        "row_id",
+        F.try_element_at("cells", F.lit(1)).cast("long").alias("doc_id"),
+        F.try_element_at("cells", F.lit(2)).alias("lang"),
+        F.try_element_at("cells", F.lit(3)).cast("long")
+        .alias("n_chars"),
+        F.try_element_at("cells", F.lit(4)).cast("long")
+        .alias("quality"))
+        .orderBy("row_id"))
+
 
 def cdc_changes_feed(spark, sf):
     """CDC-out gate: replay the deterministic I/U/D event log through
@@ -680,6 +730,7 @@ def _training_data_queries() -> dict:
                                EXTRACT_TYPED_SCAN_SQL),
         "cdc_replay_state": (cdc_replay_state, CDC_REPLAY_STATE_SQL),
         "cdc_changes_feed": (cdc_changes_feed, CDC_REPLAY_STATE_SQL),
+        "cdc_point_lookup": (cdc_point_lookup, CDC_POINT_LOOKUP_SQL),
     }
 
 

@@ -70,10 +70,35 @@ def _ctrl_score(seconds: float = 1.5) -> float:
     return round(n / (time.perf_counter() - t0) / 1e6, 2)
 
 
+def _wait_clean_epoch(max_wait: float, min_ctrl: float = 8.0,
+                      max_steal: float = 1.0) -> dict:
+    """Poll the machine until it's in a clean epoch (single-core control
+    at full speed, hypervisor steal quiet) or ``max_wait`` expires.
+    Studies sampled in a dirty epoch measure the hypervisor, not the
+    engine — the 0.45-efficiency outliers in the run history all carry
+    2-6% steal. Returns the probe that ended the wait."""
+    import time
+    deadline = time.monotonic() + max_wait
+    while True:
+        s0, t0 = _cpu_stat()
+        ctrl = _ctrl_score()
+        s1, t1 = _cpu_stat()
+        steal = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        probe = {"ctrl": ctrl, "steal_pct": steal,
+                 "clean": ctrl >= min_ctrl and steal <= max_steal}
+        if probe["clean"] or time.monotonic() >= deadline:
+            return probe
+        time.sleep(10.0)
+
+
 def run_once(cpus: int, sf_dir: str, n_files: int,
              events_path: str) -> dict:
     code = _CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
                          n_files=n_files, events_path=events_path)
+    gate_wait = float(os.environ.get("GRATE_SCALING_EPOCH_GATE", "0"))
+    gated_clean = None
+    if gate_wait > 0:
+        gated_clean = _wait_clean_epoch(gate_wait)["clean"]
     ctrl = _ctrl_score()
     s0, t0 = _cpu_stat()
     out = subprocess.run([sys.executable, "-c", code],
@@ -92,6 +117,8 @@ def run_once(cpus: int, sf_dir: str, n_files: int,
                            f"\n{out.stderr[-2000:]}")
     res["ctrl_miters"] = ctrl
     res["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    if gated_clean is not None:
+        res["epoch_gate_clean"] = gated_clean
     return res
 
 

@@ -1100,3 +1100,253 @@ def test_wide_view_width_guard_spillover(spark, tmp_path):
     s = wide.filter((F.col("path") == "slim.csv")
                     & (F.col("row_id") == 1)).collect()[0]
     assert [s["c001"], s["c002"]] == ["1", "2"]
+
+
+# --------------------------------------------------------------------------
+# file-level key bounds (data skipping) + point lookups
+
+def test_scan_entries_bounds_prune_jvm_writer(spark, tmp_path):
+    """Files written by the JVM writer carry footer-derived key bounds
+    in the manifest; a point read consults them and skips files whose
+    [min,max] range excludes the key — Iceberg-style data skipping on
+    top of bucket pruning."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    a = spark.createDataFrame(
+        [("aaa", f"p{i}", i, "x") for i in range(4)],
+        "repo string, path string, row_id int, v string")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", a, a.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    z = spark.createDataFrame(
+        [("zzz", f"p{i}", i, "y") for i in range(4)],
+        "repo string, path string, row_id int, v string")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", z, z.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+
+    full = cat.scan_entries("t")
+    assert full and all(e.get("bounds") for e in full)
+    pruned = cat.scan_entries("t", key_eq={"repo": "aaa"})
+    # every file from the zzz-only merge is skipped by its repo bounds
+    assert 0 < len(pruned) < len(full)
+    assert all(e["bounds"]["repo"][0] <= "aaa" <= e["bounds"]["repo"][1]
+               for e in pruned)
+
+    got = sorted((r["path"], r["row_id"], r["v"]) for r in
+                 cat.read("t", key_eq={"repo": "aaa"}).collect())
+    want = sorted((r["path"], r["row_id"], r["v"]) for r in
+                  cat.read("t").filter(F.col("repo") == "aaa").collect())
+    assert got == want and len(got) == 4
+
+
+def test_fused_writer_bounds_and_read_key(spark, tmp_path):
+    """The fused arrow-native writer computes the same bounds in-task
+    (no driver footer reads); read_key() routes a full-key lookup to
+    one bucket AND skips bound-excluded files, returning exactly the
+    filtered-snapshot rows."""
+    from grate_spark.cdc.events import EVENT_COLS
+    from grate_spark.cdc.pipeline import RESULTS_TABLE
+
+    rows = [(i + 1, 0, "I", "repoA", f"a{i}.csv", "c1", "csv",
+             f"k,v\n{i},a") for i in range(3)]
+    rows += [(i + 4, 0, "I", "repoZ", f"z{i}.csv", "c2", "csv",
+              f"k,v\n{i},z") for i in range(3)]
+    events = spark.createDataFrame(rows, list(EVENT_COLS))
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=False)
+    # two batches -> repoA files and repoZ files land in separate
+    # commits, so per-file repo bounds are tight
+    pipe.replay(events, batch_size=3)
+
+    cat = pipe.lake
+    full = cat.scan_entries(RESULTS_TABLE)
+    assert all(e.get("bounds") for e in full)
+    pruned = cat.scan_entries(RESULTS_TABLE,
+                              key_eq={"repo": "repoA", "path": "a1.csv"})
+    assert 0 < len(pruned) < len(full)
+
+    got = cat.read_key(RESULTS_TABLE,
+                       {"repo": "repoA", "path": "a1.csv"})
+    want = (cat.read(RESULTS_TABLE)
+            .filter((F.col("repo") == "repoA")
+                    & (F.col("path") == "a1.csv")))
+    assert state_fingerprint(got) == state_fingerprint(want)
+    assert got.count() == 2  # header row 0 + data row
+
+    # a key that bounds exclude everywhere scans zero files but still
+    # answers (empty) correctly
+    none = cat.read_key(RESULTS_TABLE,
+                        {"repo": "nope", "path": "a1.csv"})
+    assert none.count() == 0
+    assert cat.scan_entries(RESULTS_TABLE,
+                            key_eq={"repo": "nope"}) == []
+
+
+# --------------------------------------------------------------------------
+# marker squash (O(markers) maintenance, no data rewrite)
+
+def test_squash_markers_preserves_state(spark, tmp_path):
+    """squash_markers folds N per-commit marker files into one holding
+    max(seq) per key: read state identical, marker entry count -> 1,
+    data files untouched, old marker files vacuumable, changes() still
+    serves the pre-squash history."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    for i in range(4):
+        df = spark.createDataFrame(
+            [("r", f"p{j}", i, f"v{i}") for j in range(i + 1)],
+            "repo string, path string, row_id int, v string")
+        txn = cat.begin()
+        txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    t = cat.manifest()["tables"]["t"]
+    n_before = sum(len(fs) for fs in t["markers"].values())
+    assert n_before == 4
+    data_before = sorted(e["path"] for es in
+                         cat.table_files("t").values() for e in es)
+    before = state_fingerprint(cat.read("t"),
+                               ["repo", "path", "row_id", "v"])
+
+    txn = cat.begin()
+    assert txn.squash_markers("t") == 4
+    v = txn.commit()
+
+    t = cat.manifest()["tables"]["t"]
+    entries = [e for fs in t["markers"].values() for e in fs]
+    assert len(entries) == 1
+    assert state_fingerprint(cat.read("t"),
+                             ["repo", "path", "row_id", "v"]) == before
+    data_after = sorted(e["path"] for es in
+                        cat.table_files("t").values() for e in es)
+    assert data_after == data_before          # no data rewrite
+    # squash is logically invisible to the changelog
+    assert cat.changes("t", v - 1, v).count() == 0
+    assert cat.changes("t", 0, v).count() > 0
+    # old marker files are unreferenced now -> vacuum collects them
+    removed = cat.vacuum(keep_manifests=1, min_age_seconds=0)
+    assert removed["files_removed"] >= n_before
+    assert state_fingerprint(cat.read("t"),
+                             ["repo", "path", "row_id", "v"]) == before
+
+
+def test_replay_auto_squash_markers(spark, tmp_path):
+    """The replay maintenance pass squashes marker files when their
+    count outgrows the threshold but data compaction isn't warranted."""
+    from grate_spark.cdc.events import EVENT_COLS
+    from grate_spark.cdc.pipeline import RESULTS_TABLE
+
+    rows = [(i + 1, 0, "I", "r", f"f{i}.csv", "c", "csv",
+             f"k,v\n{i},x") for i in range(6)]
+    events = spark.createDataFrame(rows, list(EVENT_COLS))
+    pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
+                       wide_view=False)
+    pipe.replay(events, batch_size=1,
+                compact_after_markers=10_000,
+                compact_after_marker_bytes=1 << 40,
+                squash_after_marker_files=3)
+    t = pipe.lake.manifest()["tables"][RESULTS_TABLE]
+    entries = [e for fs in t.get("markers", {}).values() for e in fs]
+    assert len(entries) == 1                  # squashed, not compacted
+    assert pipe.results().count() == 12       # 6 files x 2 rows
+
+
+# --------------------------------------------------------------------------
+# bucket-spec evolution (rebucket)
+
+def test_rebucket_preserves_state_and_routes(spark, tmp_path):
+    """rebucket() rewrites the table under a new bucket count: read
+    state identical, markers folded, n_buckets flipped, point lookups
+    route through the NEW spec, the changelog ignores the op, and old
+    files become vacuumable."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(f"r{j}", f"p{j}", i, f"v{i}") for j in range(6)],
+            "repo string, path string, row_id int, v string")
+        txn = cat.begin()
+        txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    before = state_fingerprint(cat.read("t"),
+                               ["repo", "path", "row_id", "v"])
+    v0 = cat.current_version()
+
+    txn = cat.begin()
+    txn.rebucket("t", 16)
+    v1 = txn.commit()
+
+    t = cat.manifest()["tables"]["t"]
+    assert t["n_buckets"] == 16
+    assert not any(e for fs in t.get("markers", {}).values() for e in fs)
+    assert state_fingerprint(cat.read("t"),
+                             ["repo", "path", "row_id", "v"]) == before
+    # point lookup routes by the new spec (bucket id can exceed old nb)
+    got = cat.read_key("t", {"repo": "r3", "path": "p3"}).collect()
+    assert [(r["row_id"], r["v"]) for r in got] == [(2, "v2")]
+    # rebucket is logically invisible to the changelog
+    assert cat.changes("t", v0, v1).count() == 0
+    # superseded layout is unreferenced -> vacuumable; state survives
+    removed = cat.vacuum(keep_manifests=1, min_age_seconds=0)
+    assert removed["files_removed"] > 0
+    assert state_fingerprint(cat.read("t"),
+                             ["repo", "path", "row_id", "v"]) == before
+
+
+def test_rebucket_guards(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([("r", "p", 1, "v")],
+                               "repo string, path string, row_id int, "
+                               "v string")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    txn = cat.begin()
+    with pytest.raises(ValueError):
+        txn.rebucket("t", 0)
+    with pytest.raises(KeyError):
+        txn.rebucket("nope", 4)
+    # must be the txn's first op on the table
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    with pytest.raises(RuntimeError):
+        txn.rebucket("t", 4)
+
+
+def test_pipeline_follows_manifest_bucket_spec(spark, tmp_path):
+    """A rebucketed lake keeps ingesting correctly even when the
+    pipeline was constructed with a stale n_buckets: writers follow
+    the manifest's spec, so marker routing, bounds pruning and point
+    lookups stay consistent across the evolution."""
+    from grate_spark.cdc.events import EVENT_COLS
+    from grate_spark.cdc.pipeline import RESULTS_TABLE
+
+    root = str(tmp_path / "lake")
+    rows = [(i + 1, 0, "I", "r", f"f{i}.csv", "c", "csv",
+             f"k,v\n{i},a") for i in range(4)]
+    pipe = CdcPipeline(spark, root, n_buckets=4, wide_view=False)
+    pipe.replay(spark.createDataFrame(rows, list(EVENT_COLS)))
+
+    txn = pipe.lake.begin()
+    txn.rebucket(RESULTS_TABLE, 16)
+    txn.commit()
+
+    # stale constructor arg: the pipeline must pick up 16 from the
+    # manifest, not write with 4
+    pipe2 = CdcPipeline(spark, root, n_buckets=4, wide_view=False)
+    assert pipe2.n_buckets == 16
+    more = [(i + 5, 0, "U" if i < 2 else "I", "r", f"f{i}.csv", "c2",
+             "csv", f"k,v\n{i},b") for i in range(6)]
+    pipe2.replay(spark.createDataFrame(more, list(EVENT_COLS)))
+
+    live = pipe2.results().filter(F.col("row_id") >= 1)
+    got = sorted((r["path"], r["cells"][1]) for r in live.collect())
+    want = sorted([(f"f{i}.csv", "b") for i in range(6)])
+    assert got == want
+    # point lookup through the evolved spec returns the updated row
+    one = pipe2.lake.read_key(RESULTS_TABLE,
+                              {"repo": "r", "path": "f1.csv"}) \
+        .filter(F.col("row_id") == 1).collect()
+    assert [r["cells"][1] for r in one] == ["b"]
