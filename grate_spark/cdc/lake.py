@@ -353,6 +353,19 @@ class LakeCatalog:
         return self.read(name, manifest=self.manifest_at(version),
                          buckets=buckets)
 
+    def snapshot_tags(self) -> dict[str, int]:
+        """Current {tag: version} map (Iceberg refs)."""
+        return dict(self.manifest().get("tags", {}))
+
+    def read_tag(self, name: str, tag: str,
+                 buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read pinned to a named tag — stable across ingest
+        and vacuum (tagged manifests and their files are GC-exempt)."""
+        tags = self.manifest().get("tags", {})
+        if tag not in tags:
+            raise KeyError(f"lake: no such tag {tag!r}")
+        return self.read_version(name, int(tags[tag]), buckets=buckets)
+
     def read_key(self, name: str, key: dict) -> DataFrame:
         """Point lookup: all live rows for one merge key, touching the
         minimum possible data. A FULL key (every key column) routes to
@@ -523,12 +536,19 @@ class LakeCatalog:
         run when no reader needs time travel past ``keep_manifests``.
         """
         m = self.manifest()
+        # tagged snapshots stay fully readable after GC: their
+        # manifests are never pruned and their files count as live
+        tag_versions = sorted(set(m.get("tags", {}).values()))
+        manifests = [m] + [self.manifest_at(v) for v in tag_versions
+                           if v != m.get("version")]
         live: set[str] = set()
-        for t in m["tables"].values():
-            for b in self.table_buckets(t):
-                live.update(e["path"] for e in self.bucket_entries(t, b))
-            for fs in t.get("markers", {}).values():
-                live.update(e["path"] for e in fs)
+        for man in manifests:
+            for t in man["tables"].values():
+                for b in self.table_buckets(t):
+                    live.update(e["path"]
+                                for e in self.bucket_entries(t, b))
+                for fs in t.get("markers", {}).values():
+                    live.update(e["path"] for e in fs)
 
         removed = 0
         cutoff = time.time() - min_age_seconds
@@ -562,7 +582,8 @@ class LakeCatalog:
                     v = int(fn[1:-5])
                 except ValueError:
                     continue
-                if v <= current - keep_manifests:
+                if v <= current - keep_manifests \
+                        and v not in tag_versions:
                     os.unlink(os.path.join(self.root, MANIFEST_DIR, fn))
                     pruned += 1
 
@@ -668,6 +689,7 @@ class Transaction:
         self.base = cat.manifest()
         self.tables = json.loads(json.dumps(self.base.get("tables", {})))
         self.checkpoint = dict(self.base.get("checkpoint", {}))
+        self.tags = dict(self.base.get("tags", {}))
         self.lineage = list(self.base.get("lineage", []))
         self.txn_id = uuid.uuid4().hex[:12]
         self._n = 0
@@ -1150,6 +1172,31 @@ class Transaction:
         self._ops.append({"op": "squash_markers", "table": name})
         return len(entries_before)
 
+    def tag(self, tag: str, version: int | None = None) -> None:
+        """Named snapshot ref [Iceberg: tags / create_tag]: pin a
+        manifest version under a stable name — the dataset-release
+        primitive (a training pipeline reads ``read_tag(t, "v1.2")``
+        forever while ingest moves the table forward). Tagged versions
+        survive vacuum: their manifest is never pruned and the files
+        they reference stay live. Defaults to the snapshot this txn
+        was begun from."""
+        if not tag or not isinstance(tag, str):
+            raise ValueError("lake: tag name must be a non-empty str")
+        v = self.base["version"] if version is None else int(version)
+        if v < 1 or v > self.base["version"]:
+            raise ValueError(
+                f"lake: tag {tag!r} version {v} out of range "
+                f"[1, {self.base['version']}]")
+        self.tags[tag] = v
+        self._ops.append({"op": "tag", "tag": tag, "version": v})
+
+    def untag(self, tag: str) -> None:
+        """Drop a snapshot tag; its version becomes vacuumable again."""
+        if tag not in self.tags:
+            raise KeyError(f"lake: no such tag {tag!r}")
+        del self.tags[tag]
+        self._ops.append({"op": "untag", "tag": tag})
+
     def set_checkpoint(self, offsets: dict[str, int],
                        lineage_entry: dict | None = None,
                        keep_lineage: int = 1000) -> None:
@@ -1188,6 +1235,7 @@ class Transaction:
         manifest = {"version": version,
                     "tables": self.tables,
                     "checkpoint": self.checkpoint,
+                    "tags": self.tags,
                     "lineage": self.lineage,
                     "ops": self._ops}
         tmp = self.cat._manifest_path(version) + f".{self.txn_id}.tmp"

@@ -1350,3 +1350,83 @@ def test_pipeline_follows_manifest_bucket_spec(spark, tmp_path):
                               {"repo": "r", "path": "f1.csv"}) \
         .filter(F.col("row_id") == 1).collect()
     assert [r["cells"][1] for r in one] == ["b"]
+
+
+# --------------------------------------------------------------------------
+# snapshot tags (named refs, GC-exempt)
+
+def test_tag_pins_snapshot_across_ingest_and_vacuum(spark, tmp_path):
+    """tag() pins a version under a stable name: reads through the tag
+    never move as ingest continues, and vacuum keeps the tagged
+    manifest AND its data files alive while collecting the rest;
+    untag() releases them."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    cols = ["repo", "path", "row_id", "v"]
+    for i in range(2):
+        df = spark.createDataFrame(
+            [("r", f"p{j}", i, f"v{i}") for j in range(3)],
+            "repo string, path string, row_id int, v string")
+        txn = cat.begin()
+        txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    pinned = state_fingerprint(cat.read("t"), cols)
+
+    txn = cat.begin()
+    txn.tag("release-1")          # defaults to the txn's base version
+    txn.commit()
+    assert cat.snapshot_tags() == {"release-1": 2}
+
+    # ingest moves on; a later compact rewrites the live layout
+    df = spark.createDataFrame(
+        [("r", f"p{j}", 9, "v9") for j in range(3)],
+        "repo string, path string, row_id int, v string")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    txn = cat.begin()
+    txn.compact("t")
+    txn.commit()
+
+    head = state_fingerprint(cat.read("t"), cols)
+    assert head != pinned
+    assert state_fingerprint(cat.read_tag("t", "release-1"),
+                             cols) == pinned
+
+    # GC: everything but the head and the tag is collectable; the
+    # tagged snapshot must survive and stay byte-identical
+    cat.vacuum(keep_manifests=1, min_age_seconds=0)
+    assert state_fingerprint(cat.read_tag("t", "release-1"),
+                             cols) == pinned
+    assert state_fingerprint(cat.read("t"), cols) == head
+
+    # untag -> the pinned version becomes vacuumable
+    txn = cat.begin()
+    txn.untag("release-1")
+    txn.commit()
+    assert cat.snapshot_tags() == {}
+    cat.vacuum(keep_manifests=1, min_age_seconds=0)
+    with pytest.raises(KeyError):
+        cat.manifest_at(2)
+    assert state_fingerprint(cat.read("t"), cols) == head
+
+
+def test_tag_guards(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([("r", "p", 1, "v")],
+                               "repo string, path string, row_id int, "
+                               "v string")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=1)
+    txn.commit()
+    txn = cat.begin()
+    with pytest.raises(ValueError):
+        txn.tag("")
+    with pytest.raises(ValueError):
+        txn.tag("future", version=99)
+    with pytest.raises(KeyError):
+        txn.untag("nope")
+    with pytest.raises(KeyError):
+        cat.read_tag("t", "nope")
