@@ -103,17 +103,23 @@ class CdcPipeline:
         if salt_buckets is None:
             salt_buckets = _os.environ.get("GRATE_SALT_BUCKETS", "1") == "1"
         self.salt_buckets = salt_buckets
-        # python_encode (default ON, requires bucket_blobs): run the
+        # python_encode (default OFF, requires bucket_blobs): run the
         # merge write as the arrow-native fused writer — extraction AND
         # parquet encode inside the Python worker (pyarrow), only
-        # per-file manifest rows returning to the driver. The JVM half
-        # of the old path (Arrow row transfer back + parquet-mr encode)
-        # was the piece whose task time inflated super-linearly with
-        # local parallelism, while the identical Python loop scales at
-        # the host's CPU ceiling (scripts/twin_scaling.py,
-        # BENCH_TWIN_2_8.json). See operators/fused_write.py.
+        # per-file manifest rows returning to the driver. Trade-off,
+        # measured interleaved on the same event log: at LOW
+        # per-executor parallelism it removes the JVM half (Arrow row
+        # transfer back + parquet-mr) whose task time inflated
+        # super-linearly with thread count, and the identical Python
+        # loop scales at the host's CPU ceiling
+        # (scripts/twin_scaling.py, BENCH_TWIN_2_8.json); at local[32]
+        # (one oversubscribed JVM) the object->Arrow conversion makes
+        # it ~1.6x SLOWER than parquet-mr (431 vs 710 ev/s warm). Real
+        # clusters run 4-8 cores/executor where the fused path is the
+        # right shape, but the default follows the measured single-JVM
+        # throughput. See operators/fused_write.py.
         if python_encode is None:
-            python_encode = _os.environ.get("GRATE_PY_ENCODE", "1") == "1"
+            python_encode = _os.environ.get("GRATE_PY_ENCODE", "0") == "1"
         self.python_encode = python_encode and self.bucket_blobs
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are

@@ -1155,7 +1155,7 @@ def test_fused_writer_bounds_and_read_key(spark, tmp_path):
               f"k,v\n{i},z") for i in range(3)]
     events = spark.createDataFrame(rows, list(EVENT_COLS))
     pipe = CdcPipeline(spark, str(tmp_path / "lake"), n_buckets=4,
-                       wide_view=False)
+                       wide_view=False, python_encode=True)
     # two batches -> repoA files and repoZ files land in separate
     # commits, so per-file repo bounds are tight
     pipe.replay(events, batch_size=3)
