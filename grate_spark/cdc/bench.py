@@ -22,6 +22,33 @@ from .events import EVENT_COLS
 from .pipeline import CdcPipeline
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal
+    is the direct signature of a noisy co-tenant on a shared VM."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except OSError:
+        return 0, 1
+
+
+def _ctrl_score(seconds: float = 0.8) -> float:
+    """Single-core Miter/s control: how fast the machine is RIGHT NOW.
+    This box throttles in multi-minute epochs (observed 1.7-9.7
+    Miter/s); a trial run in a slow epoch measures the hypervisor, not
+    the engine."""
+    n = 0
+    x = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(100_000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        n += 100_000
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
 _XLSX_RELS = (b'<?xml version="1.0"?><Relationships xmlns="http://schemas.'
               b'openxmlformats.org/package/2006/relationships">'
               b'<Relationship Id="rId1" Type="http://schemas.openxml'
@@ -227,26 +254,59 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
         n_events = events.count()
         batch = max(1, (n_events + n_batches - 1) // n_batches)
 
+        # clean-epoch thresholds: a trial whose pre-trial single-core
+        # control is at full speed AND whose during-trial hypervisor
+        # steal stays quiet measures the engine; anything else measures
+        # the VM's co-tenants (a single noise epoch spans minutes and
+        # can poison ALL back-to-back trials, so dirty trials are
+        # retried up to max_trials with a short wait for a clean epoch)
+        min_ctrl = float(os.environ.get("GRATE_BENCH_MIN_CTRL", "7.0"))
+        max_steal = float(os.environ.get("GRATE_BENCH_MAX_STEAL", "1.5"))
+        max_trials = n_trials + int(
+            os.environ.get("GRATE_BENCH_EXTRA_TRIALS", "3"))
+
         trials = []
-        for i in range(n_trials):
+        i = 0
+        while True:
             lake_root = os.path.join(workdir, f"lake{i}")
             pipe = CdcPipeline(spark, lake_root, n_buckets=64,
                                wide_view=False)
+            ctrl = _ctrl_score()
+            s0, t0_ticks = _cpu_stat()
             t0 = time.perf_counter()
             stats = pipe.replay(events, batch_size=batch)
             elapsed = time.perf_counter() - t0
+            s1, t1_ticks = _cpu_stat()
+            steal = round(100.0 * (s1 - s0)
+                          / max(t1_ticks - t0_ticks, 1), 2)
             trials.append({
                 "events_per_sec": round(n_events / elapsed, 2),
                 "replay_seconds": round(elapsed, 3),
                 "batch_seconds": [round(s.get("seconds", 0), 2)
                                   for s in stats],
+                "ctrl_miters": ctrl,
+                "steal_pct": steal,
+                "clean": ctrl >= min_ctrl and steal <= max_steal,
                 "n_result_rows": pipe.results().count()})
-            if i < n_trials - 1:
-                shutil.rmtree(lake_root, ignore_errors=True)
+            shutil.rmtree(lake_root, ignore_errors=True)
+            i += 1
+            n_clean = sum(1 for t in trials if t["clean"])
+            if i >= n_trials and (n_clean >= 2 or i >= max_trials):
+                break
+            if i >= n_trials:
+                # dirty epoch: give the box a moment to come back
+                for _ in range(6):
+                    if _ctrl_score(0.4) >= min_ctrl:
+                        break
+                    time.sleep(10.0)
 
-        # median trial by throughput (lower-median for even n: the
-        # conservative pick)
-        ordered = sorted(trials, key=lambda t: t["events_per_sec"])
+        # median by throughput over CLEAN trials when >=2 exist (the
+        # machine-independent estimate), else over everything; raw
+        # per-trial numbers (incl. machine state) are all recorded
+        pool = [t for t in trials if t["clean"]]
+        if len(pool) < 2:
+            pool = trials
+        ordered = sorted(pool, key=lambda t: t["events_per_sec"])
         med = ordered[(len(ordered) - 1) // 2]
         return {"events_per_sec": med["events_per_sec"],
                 "n_events": n_events,
@@ -257,7 +317,8 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
                 "fmt": fmt,
                 "rows_per_file": rows_per_file,
                 "batch_seconds": med["batch_seconds"],
-                "n_trials": n_trials,
+                "n_trials": len(trials),
+                "n_clean_trials": sum(1 for t in trials if t["clean"]),
                 "samples": [t["events_per_sec"] for t in trials],
                 "trials": trials}
     finally:
