@@ -33,6 +33,11 @@ sys.path.insert(0, {repo!r})
 os.environ.setdefault("GRATE_BENCH_FMT", "xlsx")
 os.environ.setdefault("GRATE_BENCH_BATCHES", "1")
 os.environ.setdefault("GRATE_BENCH_ROWS", "500")
+# exactly ONE timed replay per child: the study interleaves its own
+# repeats across levels and (optionally) gates each on a clean epoch,
+# so the in-bench retry/median machinery must stay out of the way
+os.environ.setdefault("GRATE_BENCH_TRIALS", "1")
+os.environ.setdefault("GRATE_BENCH_EXTRA_TRIALS", "0")
 from grate_spark.session import get_spark
 from grate_spark.cdc.bench import replay_events_per_sec
 
