@@ -467,6 +467,63 @@ ORDER BY source, row_id
 
 CDC_REPLAY_STATE_SQL = _cdc_replay_state_sql()
 
+def _cdc_time_travel_sql() -> str:
+    from grate_spark.ops import md5_bigint_sql
+
+    dh = md5_bigint_sql("CAST(doc_id AS VARCHAR)", "ev")
+    return f"""
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS row_id,
+       doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+FROM documents
+WHERE ({dh}) % 2 = 0
+ORDER BY source, row_id
+"""
+
+
+CDC_TIME_TRAVEL_SQL = _cdc_time_travel_sql()
+
+
+def cdc_time_travel(spark, sf):
+    """Time-travel gate: replay ONLY the insert phase of the I/U/D
+    event log, pin that snapshot under a tag (Iceberg ref), then finish
+    the replay (updates + deletes land on top) — and return the state
+    read THROUGH THE TAG. The oracle reconstructs the phase-1-only
+    state directly (md5-even docs, no quality column), so the query
+    proves reads through a pinned ref are bit-stable across later
+    exactly-once ingest, checkpoint-resumed mid-log."""
+    import tempfile
+
+    from grate_spark.cdc.events import oracle_doc_events
+    from grate_spark.cdc.pipeline import RESULTS_TABLE, CdcPipeline
+
+    events = oracle_doc_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="grate-cdc-tt-")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=False)
+    # phase-1 events (op='I') occupy offsets [1, n_v1] by construction
+    n_v1 = events.filter(F.col("op") == "I").count()
+    pipe.replay(events, batch_size=n_v1, max_batches=1)
+    txn = pipe.lake.begin()
+    txn.tag("phase1")
+    txn.commit()
+    # finish the log from the checkpoint: the tag must not move
+    n = events.count()
+    pipe.replay(events, batch_size=max(4, (n + 2) // 3))
+
+    rows = pipe.lake.read_tag(RESULTS_TABLE, "phase1")
+    rows = rows.filter(F.col("error").isNull() & (F.col("row_id") >= 1))
+    return (rows.select(
+        F.regexp_replace("path", r"\.csv$", "").alias("source"),
+        "row_id",
+        F.try_element_at("cells", F.lit(1)).cast("long").alias("doc_id"),
+        F.try_element_at("cells", F.lit(2)).alias("lang"),
+        F.try_element_at("cells", F.lit(3)).cast("long")
+        .alias("n_chars"),
+        F.try_element_at("cells", F.lit(4)).cast("long")
+        .alias("quality"))
+        .orderBy("source", "row_id"))
+
+
 # point lookup = the reconstructed state filtered to one deterministic
 # key (the lexicographically-first surviving source)
 CDC_POINT_LOOKUP_SQL = f"""
@@ -731,6 +788,7 @@ def _training_data_queries() -> dict:
         "cdc_replay_state": (cdc_replay_state, CDC_REPLAY_STATE_SQL),
         "cdc_changes_feed": (cdc_changes_feed, CDC_REPLAY_STATE_SQL),
         "cdc_point_lookup": (cdc_point_lookup, CDC_POINT_LOOKUP_SQL),
+        "cdc_time_travel": (cdc_time_travel, CDC_TIME_TRAVEL_SQL),
     }
 
 
