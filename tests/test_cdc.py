@@ -1430,3 +1430,73 @@ def test_tag_guards(spark, tmp_path):
         txn.untag("nope")
     with pytest.raises(KeyError):
         cat.read_tag("t", "nope")
+
+
+# --------------------------------------------------------------------------
+# changelog consumer (downstream sync via changes())
+
+def test_sync_from_changes_incremental(spark, tmp_path):
+    """A downstream lake follows the upstream table through the
+    changelog: initial sync copies the state, later syncs apply only
+    the delta window (upserts + deletes, last commit per key wins),
+    an idle poll is a no-op, and the consumer cursor rides the
+    downstream lake's transactional checkpoint."""
+    from grate_spark.cdc.sync import sync_from_changes
+
+    src = LakeCatalog(spark, str(tmp_path / "src"))
+    dst = LakeCatalog(spark, str(tmp_path / "dst"))
+    cols = ["repo", "path", "row_id", "v"]
+
+    df = spark.createDataFrame(
+        [("r", f"p{j}", 1, "v1") for j in range(4)],
+        "repo string, path string, row_id int, v string")
+    txn = src.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+
+    r1 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r1["applied"] and r1["n_keys"] == 4
+    assert state_fingerprint(dst.read("t"), cols) == \
+        state_fingerprint(src.read("t"), cols)
+
+    # idle poll: no new upstream commits -> no downstream commit
+    v_dst = dst.current_version()
+    r2 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert not r2["applied"]
+    assert dst.current_version() == v_dst
+
+    # window with an update, a delete, and a re-update of the same key
+    # across two commits (the LAST commit must win wholesale)
+    up = spark.createDataFrame(
+        [("r", "p0", 1, "v2"), ("r", "p0", 2, "v2")],
+        "repo string, path string, row_id int, v string")
+    txn = src.begin()
+    txn.merge_replace_keys("t", up, up.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    # delete p1; shrink p0 back to one row (two more commits)
+    txn = src.begin()
+    txn.merge_replace_keys(
+        "t",
+        spark.createDataFrame([], "repo string, path string, "
+                                  "row_id int, v string"),
+        spark.createDataFrame([("r", "p1")], "repo string, path string"),
+        ("repo", "path"), n_buckets=2)
+    txn.commit()
+    up2 = spark.createDataFrame(
+        [("r", "p0", 9, "v3")],
+        "repo string, path string, row_id int, v string")
+    txn = src.begin()
+    txn.merge_replace_keys("t", up2, up2.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+
+    r3 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r3["applied"] and r3["from_version"] == r1["to_version"]
+    assert state_fingerprint(dst.read("t"), cols) == \
+        state_fingerprint(src.read("t"), cols)
+    got = {(r["path"], r["row_id"], r["v"])
+           for r in dst.read("t").collect()}
+    assert ("p0", 9, "v3") in got and ("p0", 1, "v2") not in got
+    assert not any(p == "p1" for p, *_ in got)
