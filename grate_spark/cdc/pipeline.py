@@ -117,9 +117,20 @@ class CdcPipeline:
         # it ~1.6x SLOWER than parquet-mr (431 vs 710 ev/s warm). Real
         # clusters run 4-8 cores/executor where the fused path is the
         # right shape, but the default follows the measured single-JVM
-        # throughput. See operators/fused_write.py.
+        # throughput. Default is ADAPTIVE on the session's parallelism
+        # (like AQE picking a join strategy): fused at <= 8 task
+        # threads per JVM (measured best 30.7s vs 53.6s at local[8] on
+        # the xlsx workload), parquet-mr above (710 vs 431 ev/s at
+        # local[32]); both paths are state-identical (gate-tested).
+        # GRATE_PY_ENCODE=0/1 still pins it either way.
+        # See operators/fused_write.py.
         if python_encode is None:
-            python_encode = _os.environ.get("GRATE_PY_ENCODE", "0") == "1"
+            env = _os.environ.get("GRATE_PY_ENCODE")
+            if env is not None:
+                python_encode = env == "1"
+            else:
+                python_encode = (
+                    spark.sparkContext.defaultParallelism <= 8)
         self.python_encode = python_encode and self.bucket_blobs
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are

@@ -1500,3 +1500,40 @@ def test_sync_from_changes_incremental(spark, tmp_path):
            for r in dst.read("t").collect()}
     assert ("p0", 9, "v3") in got and ("p0", 1, "v2") not in got
     assert not any(p == "p1" for p, *_ in got)
+
+
+def test_sync_from_changes_schema_evolution(spark, tmp_path):
+    """An upstream column-add flows through the changelog: the
+    consumer's merge evolves the downstream schema (old rows read as
+    NULL in the new column) without any manual migration."""
+    from grate_spark.cdc.sync import sync_from_changes
+
+    src = LakeCatalog(spark, str(tmp_path / "src"))
+    dst = LakeCatalog(spark, str(tmp_path / "dst"))
+
+    df = spark.createDataFrame(
+        [("r", "p0", 1, "v1")],
+        "repo string, path string, row_id int, v string")
+    txn = src.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    sync_from_changes(src, dst, "t", n_buckets=2)
+
+    wide = spark.createDataFrame(
+        [("r", "p1", 1, "v1", 42)],
+        "repo string, path string, row_id int, v string, extra int")
+    txn = src.begin()
+    txn.merge_replace_keys("t", wide, wide.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    r = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r["applied"]
+
+    cols = ["repo", "path", "row_id", "v", "extra"]
+    assert dst.table_schema("t").fieldNames() == \
+        src.table_schema("t").fieldNames()
+    assert state_fingerprint(dst.read("t"), cols) == \
+        state_fingerprint(src.read("t"), cols)
+    got = {(r["path"], r["extra"]) for r in dst.read("t").collect()}
+    assert got == {("p0", None), ("p1", 42)}
