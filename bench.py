@@ -82,6 +82,11 @@ def main() -> None:
         replay = run_replay_bench(spark, sf_dir)
 
         total = round(sum(timings.values()), 4)
+        # the final stdout line is COMPACT on purpose: the driver tails
+        # a bounded window of stdout and must parse this line — r4's
+        # record was lost because the full per-trial array overflowed
+        # it. Everything bulky (trials, samples, batch breakdowns) goes
+        # to the sidecar file instead.
         out = {
             "metric": "replay_events_per_sec" if replay else "suite_seconds",
             "value": replay.get("events_per_sec", total) if replay else total,
@@ -91,8 +96,22 @@ def main() -> None:
             "cpus": cpus,
         }
         if replay:
-            out["replay"] = replay
             out["suite_seconds"] = total
+            out["n_trials"] = replay.get("n_trials")
+            out["n_clean_trials"] = replay.get("n_clean_trials")
+            if replay.get("degraded"):
+                out["degraded"] = True
+            sidecar = os.environ.get(
+                "GRATE_BENCH_DETAIL",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_DETAIL.json"))
+            try:
+                with open(sidecar, "w") as f:
+                    json.dump({"compact": out, "replay": replay}, f,
+                              indent=1)
+                out["detail"] = os.path.basename(sidecar)
+            except OSError:
+                pass
         print(json.dumps(out))
     finally:
         spark.stop()

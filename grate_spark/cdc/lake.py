@@ -117,6 +117,12 @@ class LakeCatalog:
         # marker sets at or under this size broadcast in the MoR read;
         # larger sets fall back to a shuffle join (see read())
         self.broadcast_marker_bytes = broadcast_marker_bytes
+        # committed manifests are immutable, so version-keyed reads are
+        # memoized (changelog polling / sync re-opens the same versions
+        # every poll). manifest_reads counts actual disk reads — the
+        # O(delta) changelog gate asserts on it.
+        self._man_cache: dict[int, dict] = {}
+        self.manifest_reads = 0
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
 
@@ -136,28 +142,35 @@ class LakeCatalog:
         return best
 
     def manifest(self) -> dict:
-        v = self.current_version()
-        if v == 0:
-            return {"version": 0, "tables": {}, "checkpoint": {},
-                    "lineage": []}
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        return self.manifest_at(self.current_version())
 
     def manifest_at(self, version: int) -> dict:
         """The manifest as of ``version`` (time travel). Raises a clear
         error when that manifest has been pruned by vacuum() — history
         is retained up to vacuum's ``keep_manifests`` horizon, exactly
-        like Iceberg expire_snapshots."""
+        like Iceberg expire_snapshots.
+
+        Returns a cached object (manifests are immutable once linked):
+        callers must treat it as read-only — Transaction deep-copies
+        the pieces it mutates."""
         if version == 0:
             return {"version": 0, "tables": {}, "checkpoint": {},
                     "lineage": []}
+        cached = self._man_cache.get(version)
+        if cached is not None:
+            return cached
         path = self._manifest_path(version)
         if not os.path.exists(path):
             raise KeyError(
                 f"lake: no manifest v{version} (never committed, or "
                 "expired by vacuum keep_manifests)")
         with open(path) as f:
-            return json.load(f)
+            man = json.load(f)
+        self.manifest_reads += 1
+        if len(self._man_cache) > 256:  # bound driver memory on long logs
+            self._man_cache.clear()
+        self._man_cache[version] = man
+        return man
 
     def checkpoint(self) -> dict[str, int]:
         return dict(self.manifest().get("checkpoint", {}))
@@ -324,6 +337,24 @@ class LakeCatalog:
         markers, marker_bytes = self._markers(t)
         if markers is not None:
             key_cols = list(t["key_cols"])
+            if buckets is not None:
+                # marker files are stored unbucketed, but the rows carry
+                # the key columns — a bucket-pruned read (point lookup)
+                # re-derives each marker key's bucket with the writers'
+                # exact hash expression and keeps only the pruned set, so
+                # the anti-supersede join's build side is bucket-bounded
+                # too (not the table's full cumulative touched-key set)
+                markers = markers.filter(
+                    _bucket_expr(tuple(key_cols), t["n_buckets"])
+                    .isin([int(b) for b in buckets]))
+            if key_eq:
+                # any key-column equality also bounds the marker side:
+                # a marker whose key columns don't match can never join
+                # the (already-filtered) data rows
+                for c in key_cols:
+                    if c in key_eq:
+                        markers = markers.filter(
+                            F.col(c) == F.lit(key_eq[c]))
             latest = (markers.groupBy(*key_cols)
                       .agg(F.max("seq").alias("_mseq")))
             # markers are the cumulative distinct touched keys — small
@@ -448,8 +479,8 @@ class LakeCatalog:
         out_schema = self._changes_schema(current)
         key_cols = list(t_to["key_cols"])
         parts: list[DataFrame] = []
-        for v in range(from_version + 1, to_version + 1):
-            man = man_to if v == to_version else self.manifest_at(v)
+        for v, man in self._change_versions(name, from_version,
+                                            to_version, man_to):
             for op in man.get("ops", []):
                 if op.get("table") != name:
                     continue
@@ -506,6 +537,38 @@ class LakeCatalog:
             out = out.unionByName(p)
         return out
 
+    def _change_versions(self, name: str, from_version: int,
+                         to_version: int,
+                         man_to: dict) -> list[tuple[int, dict]]:
+        """Versions in (from_version, to_version] whose commits may hold
+        changelog-relevant ops on ``name``, each with its manifest.
+
+        Each commit records ``last_change`` (per table: the newest
+        version <= it that changed the table) and ``change_chain`` (for
+        tables IT changed: the previous such version), so a consumer
+        polling a long idle window walks O(commits-that-changed-the-
+        table) manifests backwards instead of JSON-parsing every
+        version in the window. Manifest reads are memoized on top
+        (manifest_at). Versions at or below ``chain_floor`` (committed
+        before chain tracking existed) fall back to the linear scan."""
+        lc = man_to.get("last_change")
+        floor = int(man_to.get("chain_floor", to_version)) \
+            if lc is not None else to_version
+        seen: set[int] = set()
+        if lc is not None:
+            v = int(lc.get(name, 0))
+            while from_version < v <= to_version and v > floor:
+                man = self.manifest_at(v)
+                seen.add(v)
+                nxt = man.get("change_chain", {}).get(name)
+                if nxt is None:  # defensive: broken link — scan below
+                    floor = max(floor, v - 1)
+                    break
+                v = int(nxt)
+        for u in range(from_version + 1, min(floor, to_version) + 1):
+            seen.add(u)
+        return [(v, self.manifest_at(v)) for v in sorted(seen)]
+
     @staticmethod
     def _changes_schema(row_schema: StructType) -> StructType:
         return StructType(
@@ -537,8 +600,14 @@ class LakeCatalog:
         """
         m = self.manifest()
         # tagged snapshots stay fully readable after GC: their
-        # manifests are never pruned and their files count as live
-        tag_versions = sorted(set(m.get("tags", {}).values()))
+        # manifests are never pruned and their files count as live.
+        # A tag whose manifest is already gone (tagged before this
+        # guard existed, or externally deleted) is skipped instead of
+        # wedging GC forever — its files are unprotectable anyway.
+        tag_versions = []
+        for v in sorted(set(m.get("tags", {}).values())):
+            if os.path.exists(self._manifest_path(v)):
+                tag_versions.append(v)
         manifests = [m] + [self.manifest_at(v) for v in tag_versions
                            if v != m.get("version")]
         live: set[str] = set()
@@ -585,6 +654,7 @@ class LakeCatalog:
                 if v <= current - keep_manifests \
                         and v not in tag_versions:
                     os.unlink(os.path.join(self.root, MANIFEST_DIR, fn))
+                    self._man_cache.pop(v, None)  # expired: reads raise
                     pruned += 1
 
         # shard GC: keep shard files referenced by any surviving
@@ -647,10 +717,18 @@ def _footer_key_bounds(full_path: str,
                 if st is None or not st.has_min_max:
                     return None
                 lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    lo = lo.decode("utf-8", "replace")
-                if isinstance(hi, bytes):
-                    hi = hi.decode("utf-8", "replace")
+                # strict decode only: a stat truncated mid-multibyte
+                # UTF-8 would decode with U+FFFD replacements whose
+                # code-point order can differ from byte order, breaking
+                # the 'truncation only widens' invariant — such a file
+                # gets NO bounds (always scanned, never wrongly pruned)
+                try:
+                    if isinstance(lo, bytes):
+                        lo = lo.decode("utf-8")
+                    if isinstance(hi, bytes):
+                        hi = hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
                 mn = lo if mn is None or lo < mn else mn
                 mx = hi if mx is None or hi > mx else mx
             bounds[c] = [mn, mx]
@@ -705,6 +783,18 @@ class Transaction:
         # O(touched buckets) per commit — same order as the shard
         # pointers the commit writes anyway.
         self._ops: list[dict] = []
+        # -- delta records for commit-retry rebase (Iceberg-style
+        # optimistic retry): purely-additive changes are re-applied onto
+        # a newer base when the conflicting commits' footprints are
+        # provably disjoint; wholesale ops (_exclusive) never rebase.
+        self._added: dict[tuple[str, str], list[dict]] = {}
+        self._marker_added: dict[str, list[dict]] = {}
+        self._schema_added: dict[str, list[str]] = {}
+        self._base_schemas: dict[str, list[str]] = {}
+        self._created: set[str] = set()
+        self._exclusive: set[str] = set()
+        self._ckpt_delta: dict[str, int] = {}
+        self._lineage_added: list[dict] = []
 
     # -- helpers ---------------------------------------------------------------
 
@@ -719,14 +809,21 @@ class Transaction:
                        entries: list[dict]) -> None:
         self._entries(name, t, b).extend(entries)
         self._dirty.add((name, str(b)))
+        self._added.setdefault((name, str(b)), []).extend(entries)
 
     def _replace_buckets(self, name: str, t: dict,
                          files: dict) -> None:
         """Drop every existing bucket's list and install ``files``
         (keys are bucket-id strings, as _write_bucketed returns)."""
+        self._exclusive.add(name)
         for b in self.cat.table_buckets(t) | set(files):
             self._bucket_cache[(name, b)] = list(files.get(b, []))
             self._dirty.add((name, b))
+
+    def _append_markers(self, name: str, t: dict,
+                        entries: list[dict]) -> None:
+        t.setdefault("markers", {}).setdefault("_all", []).extend(entries)
+        self._marker_added.setdefault(name, []).extend(entries)
 
     def _stage_dir(self, table: str) -> str:
         self._n += 1
@@ -744,15 +841,20 @@ class Transaction:
                  "shards": {},
                  "markers": {}}
             self.tables[name] = t
+            self._created.add(name)
+        self._base_schemas.setdefault(name, list(t["schemas"]))
         return t
 
-    def _evolve_schema(self, t: dict, incoming: StructType) -> StructType:
+    def _evolve_schema(self, name: str, t: dict,
+                       incoming: StructType) -> StructType:
         current = StructType.fromJson(
             json.loads(t["schemas"][t["schema_id"]]))
         merged = merge_schemas(current, incoming)
         if merged.jsonValue() != current.jsonValue():
-            t["schemas"].append(json.dumps(merged.jsonValue()))
+            s = json.dumps(merged.jsonValue())
+            t["schemas"].append(s)
             t["schema_id"] = len(t["schemas"]) - 1
+            self._schema_added.setdefault(name, []).append(s)
         return merged
 
     def _write_bucketed(self, table: str, t: dict, df: DataFrame,
@@ -814,7 +916,7 @@ class Transaction:
                           key_cols: tuple[str, ...],
                           n_buckets: int = 32) -> None:
         t = self._ensure_table(name, df.schema, key_cols, n_buckets)
-        schema = self._evolve_schema(t, df.schema)
+        schema = self._evolve_schema(name, t, df.schema)
         self._replace_buckets(name, t,
                               self._write_bucketed(name, t, df, schema,
                                                    None))
@@ -827,7 +929,7 @@ class Transaction:
         """Append-only write (metrics/log tables)."""
         t = self._ensure_table(name, df.schema,
                                key_cols or tuple(df.columns[:1]), n_buckets)
-        schema = self._evolve_schema(t, df.schema)
+        schema = self._evolve_schema(name, t, df.schema)
         files = self._write_bucketed(name, t, df, schema, None)
         for b, fs in files.items():
             self._extend_bucket(name, t, b, fs)
@@ -898,7 +1000,7 @@ class Transaction:
         ``entries_by_bucket``: {bucket-id str: [{"path": rel, ...}]}.
         """
         t = self._ensure_table(name, row_schema, key_cols, n_buckets)
-        self._evolve_schema(t, row_schema)
+        self._evolve_schema(name, t, row_schema)
         seq = self.next_seq()
 
         keys = delete_keys.select(*key_cols).distinct()
@@ -921,13 +1023,12 @@ class Transaction:
         rel = self._stage_dir(name + ".markers")
         full = os.path.join(self.cat.root, rel)
         markers.coalesce(1).write.mode("overwrite").parquet(full)
-        t.setdefault("markers", {})
         entries = [{"path": os.path.join(rel, fn),
                     "schema_id": sid,
                     "bytes": os.path.getsize(os.path.join(full, fn))}
                    for fn in sorted(os.listdir(full))
                    if fn.endswith(".parquet")]
-        t["markers"].setdefault("_all", []).extend(entries)
+        self._append_markers(name, t, entries)
 
         self._ops.append({
             "op": "merge", "table": name, "schema_id": sid,
@@ -957,7 +1058,7 @@ class Transaction:
         O(batch) — the table is never rewritten here (see ``compact``).
         """
         t = self._ensure_table(name, new_rows.schema, key_cols, n_buckets)
-        schema = self._evolve_schema(t, new_rows.schema)
+        schema = self._evolve_schema(name, t, new_rows.schema)
         nb = t["n_buckets"]
         seq = self.base["version"] + 1
 
@@ -987,13 +1088,12 @@ class Transaction:
         rel = self._stage_dir(name + ".markers")
         full = os.path.join(self.cat.root, rel)
         markers.coalesce(1).write.mode("overwrite").parquet(full)
-        t.setdefault("markers", {})
         entries = [{"path": os.path.join(rel, fn),
                     "schema_id": t["schema_id"],
                     "bytes": os.path.getsize(os.path.join(full, fn))}
                    for fn in sorted(os.listdir(full))
                    if fn.endswith(".parquet")]
-        t["markers"].setdefault("_all", []).extend(entries)
+        self._append_markers(name, t, entries)
 
         self._ops.append({
             "op": "merge", "table": name, "schema_id": t["schema_id"],
@@ -1037,6 +1137,7 @@ class Transaction:
                 f"compact({name!r}) must precede other writes to that "
                 "table in a txn: the MoR read resolves committed state "
                 "and would silently drop rows staged earlier")
+        self._exclusive.add(name)  # wholesale marker rewrite: no rebase
         schema = StructType.fromJson(
             json.loads(t["schemas"][t["schema_id"]]))
         if buckets is None:
@@ -1154,6 +1255,7 @@ class Transaction:
         markers, _bytes = self.cat._markers(t)
         if markers is None:
             return 0
+        self._exclusive.add(name)  # wholesale marker rewrite: no rebase
         key_cols = list(t["key_cols"])
         latest = (markers.groupBy(*key_cols)
                   .agg(F.max("seq").alias("seq")))
@@ -1187,6 +1289,12 @@ class Transaction:
             raise ValueError(
                 f"lake: tag {tag!r} version {v} out of range "
                 f"[1, {self.base['version']}]")
+        if not os.path.exists(self.cat._manifest_path(v)):
+            # tagging an already-vacuumed version would wedge every
+            # later vacuum/read_tag on a missing manifest
+            raise ValueError(
+                f"lake: tag {tag!r} version {v} was expired by vacuum "
+                "(manifest missing) — cannot pin it")
         self.tags[tag] = v
         self._ops.append({"op": "tag", "tag": tag, "version": v})
 
@@ -1200,53 +1308,232 @@ class Transaction:
     def set_checkpoint(self, offsets: dict[str, int],
                        lineage_entry: dict | None = None,
                        keep_lineage: int = 1000) -> None:
-        self.checkpoint.update({str(k): int(v) for k, v in offsets.items()})
+        upd = {str(k): int(v) for k, v in offsets.items()}
+        self.checkpoint.update(upd)
+        self._ckpt_delta.update(upd)
         if lineage_entry is not None:
             self.lineage.append(lineage_entry)
+            self._lineage_added.append(lineage_entry)
             self.lineage = self.lineage[-keep_lineage:]
 
     # -- commit --------------------------------------------------------------------
 
-    def commit(self) -> int:
-        """Publish atomically; raises on concurrent commit conflict.
+    def _tag_names(self) -> set[str]:
+        return {op["tag"] for op in self._ops
+                if op.get("op") in ("tag", "untag")}
+
+    def _footprint(self) -> dict:
+        """What this commit touches — published in the manifest so a
+        LATER conflicting transaction can prove disjointness and rebase
+        (Iceberg-style optimistic commit retry)."""
+        return {
+            "buckets": sorted([n, b] for n, b in self._dirty),
+            "marker_tables": sorted(self._marker_added),
+            "schema_tables": sorted(self._schema_added),
+            "exclusive_tables": sorted(self._exclusive | self._created),
+            "ckpt_keys": sorted(self._ckpt_delta),
+            "tags": sorted(self._tag_names()),
+        }
+
+    def _touched_tables(self) -> set[str]:
+        return ({n for n, _b in self._dirty}
+                | set(self._marker_added) | set(self._schema_added)
+                | self._exclusive | self._created)
+
+    @staticmethod
+    def _fp_tables(fp: dict) -> set[str]:
+        return ({n for n, _b in fp.get("buckets", [])}
+                | set(fp.get("marker_tables", []))
+                | set(fp.get("schema_tables", []))
+                | set(fp.get("exclusive_tables", [])))
+
+    def _conflict_reason(self, their_fp: dict | None) -> str | None:
+        """None iff this txn's delta provably composes with an
+        already-committed transaction's footprint."""
+        if their_fp is None:
+            return "concurrent commit predates footprint metadata"
+        ours = set(map(tuple, ((n, b) for n, b in self._dirty)))
+        theirs = set(map(tuple, (tuple(x) for x in
+                                 their_fp.get("buckets", []))))
+        hit = ours & theirs
+        if hit:
+            return f"bucket overlap: {sorted(hit)[:4]}"
+        their_tables = self._fp_tables(their_fp)
+        excl = (self._exclusive | self._created) & their_tables
+        if excl:
+            # OUR wholesale op (compact/squash/rebucket/replace/create)
+            # read state the other commit has since changed
+            return f"exclusive-table overlap (ours): {sorted(excl)}"
+        # THEIR schema evolution invalidates our staged schema_id
+        # indices; their exclusive op is fine UNDER disjoint buckets
+        # (our delta is purely additive on top of it — see _rebase)
+        sch = set(their_fp.get("schema_tables", [])) \
+            & self._touched_tables()
+        if sch:
+            return f"concurrent schema evolution: {sorted(sch)}"
+        ck = set(self._ckpt_delta) & set(their_fp.get("ckpt_keys", []))
+        if ck:
+            return f"checkpoint cursor overlap: {sorted(ck)}"
+        tg = self._tag_names() & set(their_fp.get("tags", []))
+        if tg:
+            return f"tag overlap: {sorted(tg)}"
+        return None
+
+    def _rebase(self) -> None:
+        """Re-apply this transaction's DELTA onto the current manifest
+        after a commit conflict. Only purely-additive transactions
+        (merge/append/checkpoint/tag) rebase; wholesale ops raise.
+
+        Safety of keeping the already-staged files' ``_seq`` stamp (the
+        OLD base version + 1): a row/marker at seq S only interacts
+        with rows/markers of the SAME merge key, and same key => same
+        bucket — which the bucket-overlap check proves disjoint from
+        every concurrent commit. Future merges commit at strictly
+        higher sequences, so ordering is unaffected."""
+        newbase = self.cat.manifest()
+        for v in range(self.base["version"] + 1,
+                       newbase["version"] + 1):
+            fp = self.cat.manifest_at(v).get("footprint")
+            reason = self._conflict_reason(fp)
+            if reason:
+                raise RuntimeError(
+                    f"lake: commit conflict with v{v} ({reason})")
+
+        tables = json.loads(json.dumps(newbase.get("tables", {})))
+        for name in self._touched_tables():
+            mine = self.tables[name]
+            if name in self._created:
+                if name in tables:
+                    raise RuntimeError(
+                        f"lake: commit conflict — table {name!r} "
+                        "created concurrently")
+                tables[name] = mine
+                continue
+            if name in self._exclusive:
+                # the conflict check proved no concurrent commit touched
+                # this table, so our wholesale rewrite of it (computed
+                # from the old base) is still exact — install verbatim
+                tables[name] = mine
+                continue
+            t_new = tables.get(name)
+            if t_new is None:
+                raise RuntimeError(
+                    f"lake: commit conflict — table {name!r} dropped "
+                    "concurrently")
+            if t_new["n_buckets"] != mine["n_buckets"]:
+                raise RuntimeError(
+                    f"lake: commit conflict — {name!r} rebucketed "
+                    "concurrently")
+            if t_new["schemas"] != self._base_schemas.get(
+                    name, t_new["schemas"]):
+                raise RuntimeError(
+                    f"lake: commit conflict — {name!r} schema list "
+                    "changed concurrently")
+            self._base_schemas[name] = list(t_new["schemas"])
+            for s in self._schema_added.get(name, []):
+                t_new["schemas"].append(s)
+                t_new["schema_id"] = len(t_new["schemas"]) - 1
+            for ents in (self._marker_added.get(name),):
+                if ents:
+                    t_new.setdefault("markers", {}) \
+                        .setdefault("_all", []).extend(ents)
+
+        cache: dict[tuple[str, str], list[dict]] = {}
+        dirty: set[tuple[str, str]] = set()
+        for key in self._dirty:
+            name, b = key
+            if name in self._exclusive or name in self._created:
+                # whole-bucket lists were computed from state the
+                # conflict check proved untouched — keep them verbatim
+                cache[key] = self._bucket_cache[key]
+            else:
+                cache[key] = list(self.cat.bucket_entries(
+                    tables[name], b)) + list(self._added.get(key, []))
+            dirty.add(key)
+        self._bucket_cache = cache
+        self._dirty = dirty
+        self.tables = tables
+        self.checkpoint = dict(newbase.get("checkpoint", {}))
+        self.checkpoint.update(self._ckpt_delta)
+        self.lineage = (list(newbase.get("lineage", []))
+                        + self._lineage_added)[-1000:]
+        self.tags = dict(newbase.get("tags", {}))
+        for op in self._ops:
+            if op.get("op") == "tag":
+                self.tags[op["tag"]] = op["version"]
+            elif op.get("op") == "untag":
+                self.tags.pop(op["tag"], None)
+        self.base = newbase
+
+    def commit(self, max_retries: int = 5) -> int:
+        """Publish atomically; on a concurrent-commit conflict, rebase
+        this transaction's delta onto the new base and retry (bounded),
+        raising only when the commits provably overlap — the Iceberg
+        commit-retry semantics that let ingest and maintenance (e.g. a
+        squash/compact of another table, or of disjoint buckets) run
+        concurrently at scale.
 
         Writes ONE shard JSON per dirty (table, bucket) plus the small
         root manifest — commit metadata cost is O(touched buckets), not
         O(total live files). Shards are immutable and published before
-        the root link; a crash in between leaves only unreferenced
-        shard files, which vacuum() collects."""
-        version = self.base["version"] + 1
-        for name, b in sorted(self._dirty):
-            t = self.tables[name]
-            entries = self._bucket_cache[(name, b)]
-            shards = t.setdefault("shards", {})
-            # shard pointer replaces any legacy inline list for b
-            t.get("files", {}).pop(b, None)
-            if not entries:
-                shards.pop(b, None)
-                continue
-            rel = os.path.join(SHARD_DIR, name,
-                               f"{self.txn_id}-v{version}-{b}.json")
-            full = os.path.join(self.cat.root, rel)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            with open(full, "w") as f:
-                json.dump(entries, f)
-            shards[b] = rel
-        manifest = {"version": version,
-                    "tables": self.tables,
-                    "checkpoint": self.checkpoint,
-                    "tags": self.tags,
-                    "lineage": self.lineage,
-                    "ops": self._ops}
-        tmp = self.cat._manifest_path(version) + f".{self.txn_id}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        final = self.cat._manifest_path(version)
-        try:
-            os.link(tmp, final)  # atomic create-if-absent
-        except FileExistsError:
-            raise RuntimeError(
-                f"lake: commit conflict at version {version}")
-        finally:
-            os.unlink(tmp)
-        return version
+        the root link; a crash (or a lost retry) in between leaves only
+        unreferenced shard files, which vacuum() collects."""
+        attempt = 0
+        while True:
+            version = self.base["version"] + 1
+            for name, b in sorted(self._dirty):
+                t = self.tables[name]
+                entries = self._bucket_cache[(name, b)]
+                shards = t.setdefault("shards", {})
+                # shard pointer replaces any legacy inline list for b
+                t.get("files", {}).pop(b, None)
+                if not entries:
+                    shards.pop(b, None)
+                    continue
+                rel = os.path.join(SHARD_DIR, name,
+                                   f"{self.txn_id}-v{version}-{b}.json")
+                full = os.path.join(self.cat.root, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                with open(full, "w") as f:
+                    json.dump(entries, f)
+                shards[b] = rel
+            # per-table change chain: last_change[t] = newest version
+            # that changed t's rows; change_chain[t] = the previous one
+            # (for tables THIS commit changes) — lets changes() walk
+            # O(delta commits) manifests instead of O(window)
+            last_change = dict(self.base.get("last_change", {}))
+            chain: dict[str, int] = {}
+            for op in self._ops:
+                if op.get("op") in ("merge", "append", "replace") \
+                        and op.get("table"):
+                    nm = op["table"]
+                    if nm not in chain:
+                        chain[nm] = int(last_change.get(nm, 0))
+                    last_change[nm] = version
+            manifest = {"version": version,
+                        "tables": self.tables,
+                        "checkpoint": self.checkpoint,
+                        "tags": self.tags,
+                        "lineage": self.lineage,
+                        "ops": self._ops,
+                        "footprint": self._footprint(),
+                        "last_change": last_change,
+                        "change_chain": chain,
+                        "chain_floor": self.base.get(
+                            "chain_floor", self.base["version"])}
+            tmp = self.cat._manifest_path(version) + f".{self.txn_id}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            final = self.cat._manifest_path(version)
+            try:
+                os.link(tmp, final)  # atomic create-if-absent
+                return version
+            except FileExistsError:
+                if attempt >= max_retries:
+                    raise RuntimeError(
+                        f"lake: commit conflict at version {version} "
+                        f"(gave up after {attempt} rebases)")
+                attempt += 1
+                self._rebase()  # raises RuntimeError on true conflict
+            finally:
+                os.unlink(tmp)

@@ -129,8 +129,14 @@ class CdcPipeline:
             if env is not None:
                 python_encode = env == "1"
             else:
-                python_encode = (
-                    spark.sparkContext.defaultParallelism <= 8)
+                # the measured crossover (fused wins at <= 8 task
+                # threads, parquet-mr above) is PER-JVM oversubscription,
+                # so gate on per-executor task slots: on a cluster
+                # defaultParallelism is TOTAL cores (8 execs x 4 cores =
+                # 32) and would wrongly pick parquet-mr for exactly the
+                # 4-8-core executors where fused is the right shape.
+                # local masters have one JVM = defaultParallelism slots.
+                python_encode = self._task_slots_per_jvm(spark) <= 8
         self.python_encode = python_encode and self.bucket_blobs
         # batches up to this many events dedup via a broadcast semi-join
         # of the winning (repo, path, offset) keys, so blob payloads are
@@ -139,6 +145,27 @@ class CdcPipeline:
         self.broadcast_winners_max = broadcast_winners_max
         self._pending_metrics: list[tuple] = []
         self._sync_bucket_spec()
+
+    @staticmethod
+    def _task_slots_per_jvm(spark: SparkSession) -> int:
+        """Concurrent task slots per executor JVM — the contention
+        domain the fused-writer crossover was measured against.
+        ``spark.executor.cores / spark.task.cpus`` on a cluster;
+        defaultParallelism only for local[...] masters (one JVM)."""
+        master = spark.sparkContext.master or ""
+        if master.startswith("local"):
+            return int(spark.sparkContext.defaultParallelism)
+        try:
+            exec_cores = int(spark.conf.get("spark.executor.cores", "0")
+                             or 0)
+            task_cpus = int(spark.conf.get("spark.task.cpus", "1") or 1)
+        except Exception:
+            exec_cores, task_cpus = 0, 1
+        if exec_cores > 0:
+            return max(1, exec_cores // max(1, task_cpus))
+        # executor.cores unset (e.g. standalone grabbing whole nodes):
+        # fall back to total parallelism — conservative (parquet-mr)
+        return int(spark.sparkContext.defaultParallelism)
 
     def _sync_bucket_spec(self, manifest: dict | None = None) -> None:
         """The manifest's bucket spec is authoritative for an existing
@@ -418,13 +445,23 @@ class CdcPipeline:
                 # row across keys — so the wide write is pre_partitioned
                 # too: the whole wide path runs without ANY exchange
                 # (scan -> project -> encode in one fused stage).
+                # `touched` was computed under the RESULTS bucket spec;
+                # after rebucket(results, k) the wide table may keep a
+                # DIFFERENT spec, under which that set would silently
+                # drop rows — let the merge re-derive its own touched
+                # set (and re-cluster) whenever the specs disagree.
+                wt = txn.tables.get(WIDE_TABLE)
+                same_spec = wt is None \
+                    or int(wt["n_buckets"]) == self.n_buckets
                 written = self.spark.read.parquet(*stats["files"])
                 txn.merge_replace_keys(WIDE_TABLE,
                                        _wide_view(written, max_cols,
                                                   self.wide_max_cols),
                                        all_keys, MERGE_KEY,
-                                       self.n_buckets, touched=touched,
-                                       pre_partitioned=True)
+                                       self.n_buckets,
+                                       touched=touched if same_spec
+                                       else None,
+                                       pre_partitioned=same_spec)
                 _mark("merge wide view (fused, no exchange)")
 
             # per-batch ingest metrics buffer — flushed to the metrics

@@ -48,6 +48,31 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
         raise KeyError(f"sync: no such upstream table {name!r}")
     key_cols = list(src_t["key_cols"])
 
+    # append-only tables accumulate rows per key upstream (and write no
+    # markers), so folding their 'insert' changes into a last-commit-
+    # wins MoR merge would keep only the newest append per key and
+    # silently diverge. Inserts replay as an append instead; a window
+    # mixing append + merge ops on one table has no single consistent
+    # apply order here — refuse loudly.
+    kinds = {r["_change_type"]
+             for r in delta.select("_change_type").distinct().collect()}
+    if "insert" in kinds:
+        if kinds - {"insert"}:
+            raise ValueError(
+                f"sync: window v({from_v}, {to_v}] mixes append "
+                f"('insert') and merge ops on {name!r} — cannot apply "
+                "as one idempotent step; sync each commit range "
+                "separately")
+        rows = delta.drop("_change_type", "_commit_version")
+        n_rows = rows.count()
+        txn = dst.begin()
+        txn.append(dst_name, rows, key_cols=tuple(key_cols),
+                   n_buckets=n_buckets)
+        txn.set_checkpoint({ckpt_key: to_v})
+        txn.commit()
+        return {"applied": True, "from_version": from_v,
+                "to_version": to_v, "n_keys": n_rows}
+
     # last-writer-wins per key across the window: keep only each key's
     # rows from its newest _commit_version (one aggregation + one
     # co-keyed join, both delta-sized)

@@ -320,8 +320,17 @@ def lsh_jaccard_neardups(spark: SparkSession, sf: str) -> DataFrame:
     touches only candidate pairs, so the whole pipeline is linear in
     candidates — this is the composition a 100 TB dedup run uses
     (replaces the quadratic-on-skew (lang, n_chars) blocking)."""
+    # materialize the candidate set ONCE: the banding subtree is the
+    # suite's widest DAG (signatures -> band exchange -> stop-bucket
+    # stats -> self-join), and the verify query would otherwise carry
+    # it as a live subtree that AQE/stage-retry can re-derive. The set
+    # is bounded by construction (MAX_BUCKET stop-buckets cap the pair
+    # count), so an eager localCheckpoint — executor-memory/disk blocks,
+    # no lineage — is the cheap truncation point; the verify joins then
+    # start from the checkpointed rows.
     cands = (minhash_lsh_pairs(spark, sf)
-             .select("doc_a", "doc_b"))
+             .select("doc_a", "doc_b")
+             .localCheckpoint())
     grams = (spread(table(spark, sf, "documents"))
              .withColumn("toks", F.split("text", " "))
              .filter(F.size("toks") >= 3)

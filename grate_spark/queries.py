@@ -615,6 +615,40 @@ def cdc_changes_feed(spark, sf):
         .orderBy("source", "row_id"))
 
 
+def cdc_wide_state(spark, sf):
+    """Wide-view (schema-evolution surface) gate: replay the same
+    deterministic I/U/D event log with ``wide_view=True`` — every merge
+    also maintains ``results_wide``, cells exploded to typed-width
+    string columns c001..cNNN with column-add evolution when a batch
+    widens the sheet — then read the final state THROUGH THE WIDE
+    TABLE. The oracle is the same reconstruction as cdc_replay_state
+    (c004/quality exists only for updated sources; pre-evolution rows
+    read back as NULL), so a wide-merge bug that drops rows, routes a
+    bucket wrong, or mis-evolves the schema breaks the value hash."""
+    import tempfile
+
+    from grate_spark.cdc.events import oracle_doc_events
+    from grate_spark.cdc.pipeline import CdcPipeline
+
+    events = oracle_doc_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="grate-cdc-wide-")
+    pipe = CdcPipeline(spark, root, n_buckets=8, wide_view=True)
+    n = events.count()
+    pipe.replay(events, batch_size=max(4, (n + 2) // 3))
+
+    wide = pipe.results_wide().filter(F.col("row_id") >= 1)
+    quality = (F.col("c004").cast("long") if "c004" in wide.columns
+               else F.lit(None).cast("long"))
+    return (wide.select(
+        F.regexp_replace("path", r"\.csv$", "").alias("source"),
+        "row_id",
+        F.col("c001").cast("long").alias("doc_id"),
+        F.col("c002").alias("lang"),
+        F.col("c003").cast("long").alias("n_chars"),
+        quality.alias("quality"))
+        .orderBy("source", "row_id"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column -> byte-level features through the
 # Arrow UDF (decode kernels stubbed; plumbing oracle-checked end-to-end).
@@ -789,6 +823,7 @@ def _training_data_queries() -> dict:
         "cdc_changes_feed": (cdc_changes_feed, CDC_REPLAY_STATE_SQL),
         "cdc_point_lookup": (cdc_point_lookup, CDC_POINT_LOOKUP_SQL),
         "cdc_time_travel": (cdc_time_travel, CDC_TIME_TRAVEL_SQL),
+        "cdc_wide_state": (cdc_wide_state, CDC_REPLAY_STATE_SQL),
     }
 
 

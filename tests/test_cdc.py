@@ -1537,3 +1537,311 @@ def test_sync_from_changes_schema_evolution(spark, tmp_path):
         state_fingerprint(src.read("t"), cols)
     got = {(r["path"], r["extra"]) for r in dst.read("t").collect()}
     assert got == {("p0", None), ("p1", 42)}
+
+
+# --------------------------------------------------------------------------
+# commit retry with rebase (Iceberg-style optimistic concurrency)
+
+def _mk_rows(spark, *rows):
+    return spark.createDataFrame(
+        list(rows), "repo string, path string, row_id int, v string")
+
+
+def test_commit_rebase_disjoint_tables(spark, tmp_path):
+    """An ingest merge and concurrent maintenance (marker squash) on
+    ANOTHER table both commit — the loser rebases its delta onto the
+    winner's manifest instead of failing (the common ingest-vs-
+    maintenance race at 10^10 events)."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = _mk_rows(spark, *[("r", f"p{j}", 1, "v1") for j in range(4)])
+    for v in ("v1", "v2"):  # two merge commits -> >=2 marker files
+        txn = cat.begin()
+        d = df.withColumn("v", F.lit(v))
+        txn.merge_replace_keys("a", d, d.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    txn = cat.begin()
+    txn.merge_replace_keys("b", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    cols = ["repo", "path", "row_id", "v"]
+    fp_a = state_fingerprint(cat.read("a"), cols)
+
+    t1 = cat.begin()
+    assert t1.squash_markers("a") >= 2
+    t2 = cat.begin()
+    up = _mk_rows(spark, ("r", "p0", 2, "v3"))
+    t2.merge_replace_keys("b", up, up.select("repo", "path"),
+                          ("repo", "path"), n_buckets=2)
+    v1 = t1.commit()
+    v2 = t2.commit()  # conflicts at v1's slot -> rebases -> commits
+    assert v2 == v1 + 1
+    assert state_fingerprint(cat.read("a"), cols) == fp_a
+    got = {(r["path"], r["row_id"], r["v"])
+           for r in cat.read("b").collect()}
+    assert ("p0", 2, "v3") in got and ("p0", 1, "v1") not in got
+
+
+def test_commit_rebase_ingest_over_compact_disjoint_buckets(spark,
+                                                            tmp_path):
+    """Incremental compaction of bucket A and an ingest merge touching
+    only bucket B of the SAME table both commit; the rebased ingest's
+    rows and markers survive on top of the compacted state."""
+    from grate_spark.cdc.lake import _bucket_expr
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    nb = 4
+    cand = spark.createDataFrame([(f"p{i}",) for i in range(40)],
+                                 "path string")
+    bk = {r["path"]: r["b"] for r in cand
+          .withColumn("repo", F.lit("r"))
+          .select("path", _bucket_expr(("repo", "path"), nb).alias("b"))
+          .collect()}
+    buckets = sorted(set(bk.values()))
+    assert len(buckets) >= 2
+    in_a = [p for p, b in bk.items() if b == buckets[0]][:3]
+    in_b = [p for p, b in bk.items() if b == buckets[1]][:3]
+    seed = _mk_rows(spark, *[("r", p, 1, "v1") for p in in_a + in_b])
+    for v in ("v1", "v2"):
+        txn = cat.begin()
+        d = seed.withColumn("v", F.lit(v))
+        txn.merge_replace_keys("t", d, d.select("repo", "path"),
+                               ("repo", "path"), n_buckets=nb)
+        txn.commit()
+    cols = ["repo", "path", "row_id", "v"]
+
+    t1 = cat.begin()
+    t1.compact("t", buckets=[buckets[0]])
+    t2 = cat.begin()
+    up = _mk_rows(spark, ("r", in_b[0], 7, "v9"))
+    t2.merge_replace_keys("t", up, up.select("repo", "path"),
+                          ("repo", "path"), n_buckets=nb)
+    v1 = t1.commit()
+    v2 = t2.commit()  # disjoint buckets -> rebase succeeds
+    assert v2 == v1 + 1
+    got = {(r["path"], r["row_id"], r["v"])
+           for r in cat.read("t").collect()}
+    assert (in_b[0], 7, "v9") in got
+    assert (in_b[0], 1, "v2") not in got  # ingest's marker survived
+    for p in in_a:  # compacted bucket intact
+        assert (p, 1, "v2") in got
+
+
+def test_commit_conflict_overlapping_buckets_still_raises(spark,
+                                                          tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = _mk_rows(spark, ("r", "p0", 1, "v1"))
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    t1 = cat.begin()
+    t2 = cat.begin()
+    for t in (t1, t2):
+        up = _mk_rows(spark, ("r", "p0", 1, "v2"))
+        t.merge_replace_keys("t", up, up.select("repo", "path"),
+                             ("repo", "path"), n_buckets=2)
+    t1.commit()
+    with pytest.raises(RuntimeError, match="conflict"):
+        t2.commit()
+
+
+def test_commit_conflict_exclusive_op_on_touched_table_raises(spark,
+                                                              tmp_path):
+    """A wholesale op (squash/compact) that lost the race to ANY commit
+    touching its table must raise — its rewrite read stale state."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = _mk_rows(spark, ("r", "p0", 1, "v1"), ("r", "p1", 1, "v1"))
+    for v in ("v1", "v2"):
+        txn = cat.begin()
+        d = df.withColumn("v", F.lit(v))
+        txn.merge_replace_keys("t", d, d.select("repo", "path"),
+                               ("repo", "path"), n_buckets=2)
+        txn.commit()
+    t1 = cat.begin()
+    assert t1.squash_markers("t") >= 2
+    t2 = cat.begin()
+    up = _mk_rows(spark, ("r", "p0", 2, "v3"))
+    t2.merge_replace_keys("t", up, up.select("repo", "path"),
+                          ("repo", "path"), n_buckets=2)
+    t2.commit()
+    with pytest.raises(RuntimeError, match="conflict"):
+        t1.commit()
+
+
+# --------------------------------------------------------------------------
+# point-lookup marker bounding + O(delta) changelog walk
+
+def test_point_lookup_marker_scan_bucket_bounded(spark, tmp_path):
+    """read_key must bound the MARKER side of the MoR anti-supersede
+    join too: the plan re-derives each marker key's bucket with the
+    writers' hash expression and filters to the routed bucket (plus
+    the exact key equality), so a point lookup never builds the
+    table's full cumulative touched-key set."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = _mk_rows(spark, *[("r", f"p{j}", 1, "v1") for j in range(8)])
+    for v in ("v1", "v2"):
+        txn = cat.begin()
+        d = df.withColumn("v", F.lit(v))
+        txn.merge_replace_keys("t", d, d.select("repo", "path"),
+                               ("repo", "path"), n_buckets=4)
+        txn.commit()
+    import re
+
+    # bucket-pruned read (no exact key): the marker union must carry
+    # the re-derived bucket filter above the marker relation
+    pruned = cat.read("t", buckets=[1])
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"pmod\(xxhash64[^\n]*\n[^\n]*"
+                  r"Relation \[repo#\d+,path#\d+,seq#\d+L\]", plan)
+    assert m, plan[:3000]
+
+    # full-key point lookup: the optimizer folds the bucket filter into
+    # the (tighter) exact-key equality on the marker relation
+    out = cat.read_key("t", {"repo": "r", "path": "p3"})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"Filter [^\n]*p3[^\n]*\n[^\n]*"
+                  r"Relation \[repo#\d+,path#\d+,seq#\d+L\]", plan)
+    assert m, plan[:3000]
+    rows = out.collect()
+    assert {(r["path"], r["v"]) for r in rows} == {("p3", "v2")}
+
+
+def test_changes_chain_is_o_delta(spark, tmp_path):
+    """A consumer polling a long idle window opens O(commits that
+    changed the table) manifests, not O(window): 40 commits to another
+    table between two changes to the polled one."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    df = _mk_rows(spark, ("r", "p0", 1, "v1"))
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    schema = StructType([StructField("k", IntegerType())])
+    for i in range(40):  # driver-side appends: cheap commits
+        txn = cat.begin()
+        txn.append_rows("x", [(i,)], schema)
+        txn.commit()
+    up = _mk_rows(spark, ("r", "p0", 2, "v2"))
+    txn = cat.begin()
+    txn.merge_replace_keys("t", up, up.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+
+    fresh = LakeCatalog(spark, str(tmp_path / "lake"))  # cold cache
+    delta = fresh.changes("t", 0)
+    n_upserts = delta.filter(F.col("_change_type") == "upsert").count()
+    assert n_upserts == 2
+    assert fresh.manifest_reads <= 6, fresh.manifest_reads
+    # and a narrow recent window re-reads nothing extra (memoized)
+    before = fresh.manifest_reads
+    fresh.changes("t", fresh.current_version() - 5)
+    assert fresh.manifest_reads <= before + 1
+
+
+# --------------------------------------------------------------------------
+# append-only table sync (changelog consumer)
+
+def test_sync_append_only_table(spark, tmp_path):
+    """Append-op windows replay as appends downstream — two appends of
+    the SAME key must both survive (last-wins folding would silently
+    drop one); a window mixing append and merge ops refuses."""
+    from grate_spark.cdc.sync import sync_from_changes
+
+    src = LakeCatalog(spark, str(tmp_path / "src"))
+    dst = LakeCatalog(spark, str(tmp_path / "dst"))
+    cols = ["repo", "path", "row_id", "v"]
+    a1 = _mk_rows(spark, ("r", "p0", 1, "v1"))
+    a2 = _mk_rows(spark, ("r", "p0", 2, "v2"))  # same key, new row
+    for d in (a1, a2):
+        txn = src.begin()
+        txn.append("log", d, key_cols=("repo", "path"), n_buckets=2)
+        txn.commit()
+
+    r = sync_from_changes(src, dst, "log", n_buckets=2)
+    assert r["applied"] and r["n_keys"] == 2
+    assert state_fingerprint(dst.read("log"), cols) == \
+        state_fingerprint(src.read("log"), cols)
+    assert dst.read("log").count() == 2
+
+    # incremental window
+    txn = src.begin()
+    txn.append("log", _mk_rows(spark, ("r", "p1", 1, "v3")),
+               key_cols=("repo", "path"), n_buckets=2)
+    txn.commit()
+    r2 = sync_from_changes(src, dst, "log", n_buckets=2)
+    assert r2["applied"]
+    assert state_fingerprint(dst.read("log"), cols) == \
+        state_fingerprint(src.read("log"), cols)
+
+    # a mixed window on one table cannot apply as one idempotent step
+    txn = src.begin()
+    txn.append("log", _mk_rows(spark, ("r", "p2", 1, "v4")),
+               key_cols=("repo", "path"), n_buckets=2)
+    txn.commit()
+    m = _mk_rows(spark, ("r", "p0", 9, "v5"))
+    txn = src.begin()
+    txn.merge_replace_keys("log", m, m.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    with pytest.raises(ValueError, match="mixes append"):
+        sync_from_changes(src, dst, "log", n_buckets=2)
+
+
+# --------------------------------------------------------------------------
+# wide view under bucket-spec evolution (rebucket)
+
+def test_wide_view_survives_rebucket(spark, tmp_path):
+    """After rebucket(results, k) the wide table keeps its own spec;
+    the wide merge must not filter rows by a touched set computed
+    under the results spec (silent data loss)."""
+    from grate_spark.cdc.pipeline import RESULTS_TABLE
+
+    root = str(tmp_path / "lake")
+    pipe = CdcPipeline(spark, root, n_buckets=4, wide_view=True)
+    events = fixture_events(spark)
+    n = events.count()
+    pipe.replay(events, batch_size=max(2, n // 2), max_batches=1)
+
+    txn = pipe.lake.begin()
+    txn.rebucket(RESULTS_TABLE, 8)
+    txn.commit()
+
+    pipe2 = CdcPipeline(spark, root, n_buckets=4, wide_view=True)
+    pipe2.replay(events, batch_size=max(2, n // 2))
+
+    res_keys = {(r["repo"], r["path"], r["sheet"], r["row_id"])
+                for r in pipe2.results()
+                .filter(F.col("error").isNull()).collect()}
+    wide_keys = {(r["repo"], r["path"], r["sheet"], r["row_id"])
+                 for r in pipe2.results_wide().collect()}
+    assert wide_keys == res_keys
+
+
+# --------------------------------------------------------------------------
+# tag guards vs vacuum expiry
+
+def test_tag_expired_version_rejected_and_vacuum_skips_missing(
+        spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = _mk_rows(spark, ("r", "p0", 1, "v1"))
+    for i in range(5):
+        txn = cat.begin()
+        d = df.withColumn("v", F.lit(f"v{i}"))
+        txn.merge_replace_keys("t", d, d.select("repo", "path"),
+                               ("repo", "path"), n_buckets=1)
+        txn.commit()
+    cat.vacuum(keep_manifests=2, min_age_seconds=0)
+    txn = cat.begin()
+    with pytest.raises(ValueError, match="expired"):
+        txn.tag("old", version=1)
+
+    # a tag whose manifest disappeared externally must not wedge GC
+    txn = cat.begin()
+    txn.tag("pin", version=cat.current_version())
+    txn.commit()
+    os.unlink(cat._manifest_path(cat.snapshot_tags()["pin"]))
+    cat._man_cache.clear()
+    out = cat.vacuum(keep_manifests=2, min_age_seconds=0)
+    assert "manifests_pruned" in out  # completed without raising

@@ -190,3 +190,17 @@ def test_spread_skips_exchange_on_already_parallel_input(spark, tmp_path):
     narrow = spark.read.parquet(p).coalesce(1)
     plan2 = simple_plan(spread(narrow))
     assert "RoundRobinPartitioning" in plan2, plan2[:2000]
+
+
+def test_lsh_neardups_banding_runs_once(spark):
+    """lsh_jaccard_neardups materializes the candidate pairs ONCE
+    (eager localCheckpoint, bounded by the stop-bucket cap): the
+    verify query's plan starts from the checkpointed rows, so the
+    banding exchange — the suite's widest DAG — cannot re-execute
+    inside the verify joins."""
+    from grate_spark.ops.dedup import lsh_jaccard_neardups
+
+    df = lsh_jaccard_neardups(spark, SF)
+    plan = simple_plan(df)
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert "hashpartitioning(band" not in plan, plan[:2000]
