@@ -25,7 +25,8 @@ from .lake import LakeCatalog
 
 def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
                       name: str, dst_name: str | None = None,
-                      n_buckets: int = 32) -> dict:
+                      n_buckets: int = 32,
+                      on_non_incremental: str = "raise") -> dict:
     """Poll upstream ``name`` and apply everything committed since the
     last sync to ``dst_name`` (default: same name). Returns stats.
 
@@ -33,6 +34,16 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
     key wins wholesale (a merge re-extracts a key's full row set, and
     a delete emits the key with no rows), so the whole window applies
     as ONE exactly-once MoR merge — no per-version replay loop.
+
+    ``on_non_incremental``: what to do when the window has no
+    row-level incremental form — a wholesale `replace` commit (no
+    delta exists) or a window mixing append and merge ops on one table
+    (no single idempotent apply order). ``"raise"`` (default)
+    propagates the error; ``"recopy"`` falls back to replacing the
+    downstream table with the CURRENT upstream snapshot — always
+    consistent, cost O(table) (the documented price of a replace; the
+    Iceberg/Delta CDF contract is the same: snapshot-replacing commits
+    force consumers to re-read).
     """
     dst_name = dst_name or name
     ckpt_key = f"sync:{dst_name}"
@@ -42,11 +53,28 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
         return {"applied": False, "from_version": from_v,
                 "to_version": from_v, "n_keys": 0}
 
-    delta = src.changes(name, from_v, to_v)
     src_t = src.manifest()["tables"].get(name)
     if src_t is None:
         raise KeyError(f"sync: no such upstream table {name!r}")
     key_cols = list(src_t["key_cols"])
+
+    def _recopy() -> dict:
+        rows = src.read(name)
+        n = rows.count()
+        txn = dst.begin()
+        txn.create_or_replace(dst_name, rows, tuple(key_cols),
+                              n_buckets=n_buckets)
+        txn.set_checkpoint({ckpt_key: to_v})
+        txn.commit()
+        return {"applied": True, "from_version": from_v,
+                "to_version": to_v, "n_keys": n, "recopied": True}
+
+    try:
+        delta = src.changes(name, from_v, to_v)
+    except ValueError:
+        if on_non_incremental == "recopy":
+            return _recopy()
+        raise
 
     # append-only tables accumulate rows per key upstream (and write no
     # markers), so folding their 'insert' changes into a last-commit-
@@ -58,11 +86,13 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
              for r in delta.select("_change_type").distinct().collect()}
     if "insert" in kinds:
         if kinds - {"insert"}:
+            if on_non_incremental == "recopy":
+                return _recopy()
             raise ValueError(
                 f"sync: window v({from_v}, {to_v}] mixes append "
                 f"('insert') and merge ops on {name!r} — cannot apply "
                 "as one idempotent step; sync each commit range "
-                "separately")
+                "separately (or pass on_non_incremental='recopy')")
         rows = delta.drop("_change_type", "_commit_version")
         n_rows = rows.count()
         txn = dst.begin()

@@ -1845,3 +1845,42 @@ def test_tag_expired_version_rejected_and_vacuum_skips_missing(
     cat._man_cache.clear()
     out = cat.vacuum(keep_manifests=2, min_age_seconds=0)
     assert "manifests_pruned" in out  # completed without raising
+
+
+def test_sync_recopy_on_non_incremental_windows(spark, tmp_path):
+    """Windows with no row-level incremental form (a wholesale replace,
+    or mixed append+merge) re-copy the upstream snapshot when asked,
+    and later windows resume incremental application from there."""
+    from grate_spark.cdc.sync import sync_from_changes
+
+    src = LakeCatalog(spark, str(tmp_path / "src"))
+    dst = LakeCatalog(spark, str(tmp_path / "dst"))
+    cols = ["repo", "path", "row_id", "v"]
+    df = _mk_rows(spark, ("r", "p0", 1, "v1"), ("r", "p1", 1, "v1"))
+    txn = src.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    rep = _mk_rows(spark, ("r", "p9", 1, "v9"))
+    txn = src.begin()
+    txn.create_or_replace("t", rep, ("repo", "path"), n_buckets=2)
+    txn.commit()
+
+    with pytest.raises(ValueError):
+        sync_from_changes(src, dst, "t", n_buckets=2)
+    r = sync_from_changes(src, dst, "t", n_buckets=2,
+                          on_non_incremental="recopy")
+    assert r["applied"] and r.get("recopied") and r["n_keys"] == 1
+    assert state_fingerprint(dst.read("t"), cols) == \
+        state_fingerprint(src.read("t"), cols)
+
+    # incremental resumes after the recopy
+    up = _mk_rows(spark, ("r", "p9", 2, "v10"))
+    txn = src.begin()
+    txn.merge_replace_keys("t", up, up.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    r2 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r2["applied"] and not r2.get("recopied")
+    assert state_fingerprint(dst.read("t"), cols) == \
+        state_fingerprint(src.read("t"), cols)
