@@ -1022,7 +1022,11 @@ class Transaction:
         markers = keys.withColumn("seq", F.lit(seq).cast("long"))
         rel = self._stage_dir(name + ".markers")
         full = os.path.join(self.cat.root, rel)
-        markers.coalesce(1).write.mode("overwrite").parquet(full)
+        # single sorted file: key-ordered rows give the parquet
+        # footer/page stats tight key ranges, so a point lookup's
+        # marker scan prunes to the page(s) holding its key
+        markers.coalesce(1).sortWithinPartitions(*key_cols) \
+            .write.mode("overwrite").parquet(full)
         entries = [{"path": os.path.join(rel, fn),
                     "schema_id": sid,
                     "bytes": os.path.getsize(os.path.join(full, fn))}
@@ -1087,7 +1091,11 @@ class Transaction:
         markers = keys.withColumn("seq", F.lit(seq).cast("long"))
         rel = self._stage_dir(name + ".markers")
         full = os.path.join(self.cat.root, rel)
-        markers.coalesce(1).write.mode("overwrite").parquet(full)
+        # single sorted file: key-ordered rows give the parquet
+        # footer/page stats tight key ranges, so a point lookup's
+        # marker scan prunes to the page(s) holding its key
+        markers.coalesce(1).sortWithinPartitions(*key_cols) \
+            .write.mode("overwrite").parquet(full)
         entries = [{"path": os.path.join(rel, fn),
                     "schema_id": t["schema_id"],
                     "bytes": os.path.getsize(os.path.join(full, fn))}
@@ -1174,7 +1182,8 @@ class Transaction:
                 ~_bucket_expr(key_cols, nb).isin(chosen))
             rel = self._stage_dir(name + ".markers")
             full = os.path.join(self.cat.root, rel)
-            kept.coalesce(1).write.mode("overwrite").parquet(full)
+            kept.coalesce(1).sortWithinPartitions(*key_cols) \
+                .write.mode("overwrite").parquet(full)
             entries = [{"path": os.path.join(rel, fn),
                         "schema_id": t["schema_id"],
                         "bytes": os.path.getsize(os.path.join(full, fn))}
@@ -1264,7 +1273,8 @@ class Transaction:
         # one output file: the marker set is bounded by distinct
         # touched keys since the last compact — driver-small by
         # construction (same budget as the read path's broadcast)
-        latest.coalesce(1).write.mode("overwrite").parquet(full)
+        latest.coalesce(1).sortWithinPartitions(*key_cols) \
+            .write.mode("overwrite").parquet(full)
         entries = [{"path": os.path.join(rel, fn),
                     "schema_id": t["schema_id"],
                     "bytes": os.path.getsize(os.path.join(full, fn))}
