@@ -432,7 +432,8 @@ class LakeCatalog:
         return self.read(name, manifest=m, buckets=buckets, key_eq=key)
 
     def changes(self, name: str, from_version: int,
-                to_version: int | None = None) -> DataFrame:
+                to_version: int | None = None,
+                batch_min: int = 16) -> DataFrame:
         """Incremental changelog (CDC-out): every row-level change
         committed to ``name`` in versions (from_version, to_version],
         with ``_change_type`` ('insert' | 'upsert' | 'delete') and
@@ -459,6 +460,18 @@ class LakeCatalog:
           compact/vacuum -> no logical change; skipped.
           replace -> snapshot replacement has no row-level delta;
                     raises ValueError (consumers must re-read).
+
+        Plan shape: windows with <= ``batch_min`` relevant ops build
+        one small subtree per op; larger windows BATCH — one scan per
+        (change_type, schema) group over all the window's data files
+        with ``_commit_version`` recovered from each file's unique
+        commit staging directory, plus one scan over all marker files
+        and ONE anti-join for deletes — so a consumer catching up over
+        thousands of commits gets an O(schema-groups) plan, not
+        O(commits) union subtrees. (Delete granularity in the batched
+        plan is per-version rather than per-op — identical whenever a
+        version holds at most one merge of the table, which every
+        writer in this engine guarantees.)
         """
         to_version = self.current_version() if to_version is None \
             else to_version
@@ -478,7 +491,9 @@ class LakeCatalog:
             json.loads(t_to["schemas"][t_to["schema_id"]]))
         out_schema = self._changes_schema(current)
         key_cols = list(t_to["key_cols"])
-        parts: list[DataFrame] = []
+
+        # collect the window's relevant ops as flat descriptors first
+        ops: list[dict] = []
         for v, man in self._change_versions(name, from_version,
                                             to_version, man_to):
             for op in man.get("ops", []):
@@ -493,45 +508,150 @@ class LakeCatalog:
                         "row-level changelog exists; re-read the table")
                 if kind not in ("merge", "append"):
                     continue
-                sid = op.get("schema_id", t_to["schema_id"])
-                fs = StructType.fromJson(
-                    json.loads(t_to["schemas"][sid]))
-                paths = [os.path.join(self.root, p)
-                         for p in op.get("files", [])]
-                rows = None
-                if paths:
-                    rows = _align(
-                        self.spark.read.schema(fs).parquet(*paths),
-                        current)
-                    parts.append(rows.select(
-                        *[F.col(f.name) for f in current.fields],
-                        F.lit("upsert" if kind == "merge"
-                              else "insert").alias("_change_type"),
-                        F.lit(v).cast("long").alias("_commit_version")))
-                mpaths = [os.path.join(self.root, p)
-                          for p in op.get("markers", [])]
-                if kind == "merge" and mpaths:
-                    keys = self.spark.read.parquet(*mpaths) \
-                        .select(*key_cols).distinct()
-                    if rows is not None:
-                        # deletes = touched keys that contributed no new
-                        # rows; the new-rows side of one commit is
-                        # O(batch), so the anti-join is delta-sized
-                        keys = keys.join(
-                            rows.select(*key_cols).distinct(),
-                            key_cols, "left_anti")
-                    null_cols = [
-                        F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in current.fields
-                        if f.name not in key_cols]
-                    parts.append(keys.select(
-                        *[F.col(k) for k in key_cols], *null_cols)
-                        .select(*[F.col(f.name) for f in current.fields],
-                                F.lit("delete").alias("_change_type"),
-                                F.lit(v).cast("long")
-                                .alias("_commit_version")))
+                ops.append({"v": v, "kind": kind,
+                            "sid": op.get("schema_id", t_to["schema_id"]),
+                            "files": list(op.get("files", [])),
+                            "markers": list(op.get("markers", []))})
+        if not ops:
+            return self.spark.createDataFrame([], out_schema)
+        if len(ops) > batch_min:
+            batched = self._changes_batched(ops, t_to, current, key_cols)
+            if batched is not None:
+                return batched
+
+        parts: list[DataFrame] = []
+        for o in ops:
+            v, kind = o["v"], o["kind"]
+            fs = StructType.fromJson(
+                json.loads(t_to["schemas"][o["sid"]]))
+            paths = [os.path.join(self.root, p) for p in o["files"]]
+            rows = None
+            if paths:
+                rows = _align(
+                    self.spark.read.schema(fs).parquet(*paths),
+                    current)
+                parts.append(rows.select(
+                    *[F.col(f.name) for f in current.fields],
+                    F.lit("upsert" if kind == "merge"
+                          else "insert").alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version")))
+            mpaths = [os.path.join(self.root, p) for p in o["markers"]]
+            if kind == "merge" and mpaths:
+                keys = self.spark.read.parquet(*mpaths) \
+                    .select(*key_cols).distinct()
+                if rows is not None:
+                    # deletes = touched keys that contributed no new
+                    # rows; the new-rows side of one commit is
+                    # O(batch), so the anti-join is delta-sized
+                    keys = keys.join(
+                        rows.select(*key_cols).distinct(),
+                        key_cols, "left_anti")
+                null_cols = [
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in current.fields
+                    if f.name not in key_cols]
+                parts.append(keys.select(
+                    *[F.col(k) for k in key_cols], *null_cols)
+                    .select(*[F.col(f.name) for f in current.fields],
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(v).cast("long")
+                            .alias("_commit_version")))
         if not parts:
             return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # stage-dir capture: every commit op stages its files under ONE
+    # unique data/<table>/<txnid>-<nnnn>/ directory, so the dir name
+    # recovers (version, kind) per row without per-op plan subtrees
+    _STAGE_RE = r"[/\\]data[/\\][^/\\]+[/\\]([^/\\]+)[/\\]"
+
+    def _changes_batched(self, ops: list[dict], t_to: dict,
+                         current: StructType,
+                         key_cols: list[str]) -> DataFrame | None:
+        """O(schema-groups) changelog plan for big windows: one scan
+        per (kind, schema) over all data files, one scan over all
+        marker files, one anti-join for deletes. Returns None when any
+        op's files don't follow the one-stage-dir-per-op layout (legacy
+        data) — the caller falls back to the per-op plan."""
+        ver_pairs: list = []   # stage dir -> commit version
+        kind_of: dict[str, str] = {}
+        groups: dict[tuple[str, int], list[str]] = {}
+        marker_paths: list[str] = []
+        marker_dirs: list = []
+        import re as _re
+        for o in ops:
+            dirs = set()
+            for p in o["files"]:
+                m = _re.search(self._STAGE_RE, "/" + p)
+                if not m:
+                    return None
+                dirs.add(m.group(1))
+            for d in dirs:
+                if d in kind_of:   # shared stage dir across ops: bail
+                    return None
+                kind_of[d] = o["kind"]
+                ver_pairs += [F.lit(d), F.lit(o["v"]).cast("long")]
+            if o["files"]:
+                groups.setdefault((o["kind"], o["sid"]), []).extend(
+                    os.path.join(self.root, p) for p in o["files"])
+            if o["kind"] == "merge" and o["markers"]:
+                mdirs = set()
+                for p in o["markers"]:
+                    m = _re.search(self._STAGE_RE, "/" + p)
+                    if not m:
+                        return None
+                    mdirs.add(m.group(1))
+                for d in mdirs:
+                    marker_dirs += [F.lit(d), F.lit(o["v"]).cast("long")]
+                marker_paths += [os.path.join(self.root, p)
+                                 for p in o["markers"]]
+
+        stage = F.regexp_extract(F.input_file_name(),
+                                 self._STAGE_RE, 1)
+        vmap = F.create_map(*ver_pairs) if ver_pairs else None
+        parts: list[DataFrame] = []
+        rows_keys = None  # (key_cols, _commit_version) of upsert rows
+        for (kind, sid), paths in sorted(groups.items()):
+            fs = StructType.fromJson(json.loads(t_to["schemas"][sid]))
+            scan = self.spark.read.schema(fs).parquet(*paths) \
+                .withColumn("_commit_version",
+                            F.element_at(vmap, stage))
+            rows = _align(scan, current, extras=("_commit_version",))
+            part = rows.select(
+                *[F.col(f.name) for f in current.fields],
+                F.lit("upsert" if kind == "merge"
+                      else "insert").alias("_change_type"),
+                F.col("_commit_version"))
+            parts.append(part)
+            if kind == "merge":
+                rk = rows.select(*key_cols, "_commit_version").distinct()
+                rows_keys = rk if rows_keys is None \
+                    else rows_keys.unionByName(rk)
+        if marker_paths:
+            mmap = F.create_map(*marker_dirs)
+            keys = (self.spark.read.parquet(*marker_paths)
+                    .withColumn("_commit_version",
+                                F.element_at(mmap, stage))
+                    .select(*key_cols, "_commit_version").distinct())
+            if rows_keys is not None:
+                keys = keys.join(rows_keys,
+                                 key_cols + ["_commit_version"],
+                                 "left_anti")
+            null_cols = [F.lit(None).cast(f.dataType).alias(f.name)
+                         for f in current.fields
+                         if f.name not in key_cols]
+            parts.append(keys.select(
+                *[F.col(k) for k in key_cols], *null_cols,
+                F.col("_commit_version"))
+                .select(*[F.col(f.name) for f in current.fields],
+                        F.lit("delete").alias("_change_type"),
+                        F.col("_commit_version")))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], self._changes_schema(current))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -1884,3 +1884,52 @@ def test_sync_recopy_on_non_incremental_windows(spark, tmp_path):
     assert r2["applied"] and not r2.get("recopied")
     assert state_fingerprint(dst.read("t"), cols) == \
         state_fingerprint(src.read("t"), cols)
+
+
+def test_changes_batched_plan_matches_per_op(spark, tmp_path):
+    """Big-window changelog reads take the batched O(schema-groups)
+    plan (one scan per (kind, schema) + one delete anti-join, commit
+    versions recovered from stage dirs); its output must be row-for-row
+    identical to the per-op plan across merges, delete-only commits,
+    and a mid-window schema evolution."""
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    for i in range(9):
+        txn = cat.begin()
+        if i == 5:  # delete-only commit
+            d = spark.createDataFrame([], "repo string, path string, "
+                                          "row_id int, v string")
+            keys = _mk_rows(spark, ("r", "p1", 0, "")) \
+                .select("repo", "path")
+        else:
+            cols = "repo string, path string, row_id int, v string"
+            if i >= 7:  # schema evolution: extra column
+                d = spark.createDataFrame(
+                    [("r", f"p{i % 4}", 1, f"v{i}", i)],
+                    cols + ", extra int")
+            else:
+                d = spark.createDataFrame(
+                    [("r", f"p{i % 4}", 1, f"v{i}")], cols)
+            keys = d.select("repo", "path")
+        txn.merge_replace_keys("t", d, keys, ("repo", "path"),
+                               n_buckets=2)
+        txn.commit()
+
+    cols = ["repo", "path", "row_id", "v", "extra",
+            "_change_type", "_commit_version"]
+    per_op = cat.changes("t", 0, batch_min=10**9)
+    batched = cat.changes("t", 0, batch_min=1)
+    assert set(per_op.columns) == set(batched.columns)
+    assert state_fingerprint(per_op, cols) == \
+        state_fingerprint(batched, cols)
+    # the batched plan really is op-count-independent: one scan per
+    # (kind, schema) group (2 here), each referenced once more by the
+    # delete anti-join's key side, + 1 marker scan = 5 relations for 9
+    # commits (the per-op plan has one per op side: ~17)
+    plan = batched._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") <= 5, plan[:2000]
+    per_op_plan = per_op._jdf.queryExecution().optimizedPlan().toString()
+    assert per_op_plan.count("Relation [") > 10
+    # and a window slice behaves identically too
+    s1 = cat.changes("t", 3, batch_min=10**9)
+    s2 = cat.changes("t", 3, batch_min=1)
+    assert state_fingerprint(s1, cols) == state_fingerprint(s2, cols)
