@@ -564,9 +564,14 @@ class LakeCatalog:
         return out
 
     # stage-dir capture: every commit op stages its files under ONE
-    # unique data/<table>/<txnid>-<nnnn>/ directory, so the dir name
-    # recovers (version, kind) per row without per-op plan subtrees
-    _STAGE_RE = r"[/\\]data[/\\][^/\\]+[/\\]([^/\\]+)[/\\]"
+    # unique data/<table>/<12-hex-txnid>-<nnnn>/ directory, so the dir
+    # name recovers (version, kind) per row without per-op plan
+    # subtrees. Anchored to the END of the path (optional partition
+    # dir + filename) — a prefix-anchored match would capture the
+    # wrong segment for lake roots that themselves contain a "data"
+    # path component (input_file_name() is the ABSOLUTE file URI).
+    _STAGE_RE = (r"[/\\]([0-9a-f]{12}-[0-9]{4})[/\\]"
+                 r"(?:_bucket=[^/\\]*[/\\])?[^/\\]*$")
 
     def _changes_batched(self, ops: list[dict], t_to: dict,
                          current: StructType,
@@ -576,10 +581,20 @@ class LakeCatalog:
         marker files, one anti-join for deletes. Returns None when any
         op's files don't follow the one-stage-dir-per-op layout (legacy
         data) — the caller falls back to the per-op plan."""
+        # per-version delete suppression (the anti-join below) is only
+        # equivalent to the per-op plan when a version holds at most
+        # one merge of the table — every writer in this engine does,
+        # but the API doesn't forbid more: bail to the per-op plan
+        merges_per_v: dict[int, int] = {}
+        for o in ops:
+            if o["kind"] == "merge":
+                merges_per_v[o["v"]] = merges_per_v.get(o["v"], 0) + 1
+                if merges_per_v[o["v"]] > 1:
+                    return None
         ver_pairs: list = []   # stage dir -> commit version
         kind_of: dict[str, str] = {}
         groups: dict[tuple[str, int], list[str]] = {}
-        marker_paths: list[str] = []
+        marker_groups: dict[int, list[str]] = {}
         marker_dirs: list = []
         import re as _re
         for o in ops:
@@ -606,8 +621,8 @@ class LakeCatalog:
                     mdirs.add(m.group(1))
                 for d in mdirs:
                     marker_dirs += [F.lit(d), F.lit(o["v"]).cast("long")]
-                marker_paths += [os.path.join(self.root, p)
-                                 for p in o["markers"]]
+                marker_groups.setdefault(o["sid"], []).extend(
+                    os.path.join(self.root, p) for p in o["markers"])
 
         stage = F.regexp_extract(F.input_file_name(),
                                  self._STAGE_RE, 1)
@@ -630,12 +645,26 @@ class LakeCatalog:
                 rk = rows.select(*key_cols, "_commit_version").distinct()
                 rows_keys = rk if rows_keys is None \
                     else rows_keys.unionByName(rk)
-        if marker_paths:
+        if marker_groups:
             mmap = F.create_map(*marker_dirs)
-            keys = (self.spark.read.parquet(*marker_paths)
-                    .withColumn("_commit_version",
-                                F.element_at(mmap, stage))
-                    .select(*key_cols, "_commit_version").distinct())
+            # markers are read with each group's EXPLICIT key schema
+            # (a key column widened mid-window would otherwise break
+            # the schemaless multi-file scan), then cast to current
+            keys = None
+            for sid, paths in sorted(marker_groups.items()):
+                fs = StructType.fromJson(
+                    json.loads(t_to["schemas"][sid]))
+                mschema = StructType(
+                    [f for f in fs.fields if f.name in key_cols]
+                    + [StructField("seq", LongType(), True)])
+                cur_types = {f.name: f.dataType for f in current.fields}
+                g = (self.spark.read.schema(mschema).parquet(*paths)
+                     .select(*[F.col(k).cast(cur_types[k]).alias(k)
+                               for k in key_cols])
+                     .withColumn("_commit_version",
+                                 F.element_at(mmap, stage)))
+                keys = g if keys is None else keys.unionByName(g)
+            keys = keys.select(*key_cols, "_commit_version").distinct()
             if rows_keys is not None:
                 keys = keys.join(rows_keys,
                                  key_cols + ["_commit_version"],
@@ -656,6 +685,29 @@ class LakeCatalog:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def window_op_kinds(self, name: str, from_version: int,
+                        to_version: int | None = None) -> set[str]:
+        """The set of changelog-relevant op kinds ('merge' | 'append' |
+        'replace') committed to ``name`` in (from_version, to_version]
+        — pure driver-side manifest JSON via the change chain, zero
+        Spark scans. Consumers use it to pick an apply strategy before
+        building any plan (sync_from_changes)."""
+        to_version = self.current_version() if to_version is None \
+            else to_version
+        if to_version <= from_version:
+            return set()
+        man_to = self.manifest_at(to_version)
+        if not man_to["tables"].get(name):
+            return set()
+        kinds: set[str] = set()
+        for _v, man in self._change_versions(name, from_version,
+                                             to_version, man_to):
+            for op in man.get("ops", []):
+                if op.get("table") == name and \
+                        op.get("op") in ("merge", "append", "replace"):
+                    kinds.add(op["op"])
+        return kinds
 
     def _change_versions(self, name: str, from_version: int,
                          to_version: int,
@@ -908,6 +960,13 @@ class Transaction:
         # a newer base when the conflicting commits' footprints are
         # provably disjoint; wholesale ops (_exclusive) never rebase.
         self._added: dict[tuple[str, str], list[dict]] = {}
+        # buckets a merge TOUCHED via markers even when it staged no
+        # data file (a delete-only merge): these must count in the
+        # commit-conflict footprint, or a concurrent write of the same
+        # key would slip past the bucket-overlap check (the staged
+        # marker keeps its old seq, and the MoR read keeps rows on a
+        # seq tie -> the delete would silently lose)
+        self._touched: set[tuple[str, str]] = set()
         self._marker_added: dict[str, list[dict]] = {}
         self._schema_added: dict[str, list[str]] = {}
         self._base_schemas: dict[str, list[str]] = {}
@@ -1128,6 +1187,7 @@ class Transaction:
                              else (int(b) for b in entries_by_bucket)))
         if not touched and not entries_by_bucket:
             return {"buckets": [], "files": []}
+        self._touched.update((name, str(b)) for b in touched)
 
         sid = t["schema_id"]
         files: dict[str, list[dict]] = {}
@@ -1197,6 +1257,7 @@ class Transaction:
             touched = sorted(set(touched))
         if not touched:
             return {"buckets": [], "files": []}
+        self._touched.update((name, str(b)) for b in touched)
 
         data = _align(new_rows, schema).withColumn(
             "_seq", F.lit(seq).cast("long"))
@@ -1457,7 +1518,8 @@ class Transaction:
         LATER conflicting transaction can prove disjointness and rebase
         (Iceberg-style optimistic commit retry)."""
         return {
-            "buckets": sorted([n, b] for n, b in self._dirty),
+            "buckets": sorted([n, b]
+                              for n, b in (self._dirty | self._touched)),
             "marker_tables": sorted(self._marker_added),
             "schema_tables": sorted(self._schema_added),
             "exclusive_tables": sorted(self._exclusive | self._created),
@@ -1466,7 +1528,7 @@ class Transaction:
         }
 
     def _touched_tables(self) -> set[str]:
-        return ({n for n, _b in self._dirty}
+        return ({n for n, _b in (self._dirty | self._touched)}
                 | set(self._marker_added) | set(self._schema_added)
                 | self._exclusive | self._created)
 
@@ -1482,7 +1544,7 @@ class Transaction:
         already-committed transaction's footprint."""
         if their_fp is None:
             return "concurrent commit predates footprint metadata"
-        ours = set(map(tuple, ((n, b) for n, b in self._dirty)))
+        ours = set(self._dirty) | set(self._touched)
         theirs = set(map(tuple, (tuple(x) for x in
                                  their_fp.get("buckets", []))))
         hit = ours & theirs

@@ -40,7 +40,9 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
     delta exists) or a window mixing append and merge ops on one table
     (no single idempotent apply order). ``"raise"`` (default)
     propagates the error; ``"recopy"`` falls back to replacing the
-    downstream table with the CURRENT upstream snapshot — always
+    downstream table with the upstream snapshot AS OF the polled
+    version (pinned, so racing upstream commits stay ahead of the
+    advanced cursor and apply on the next poll) — always
     consistent, cost O(table) (the documented price of a replace; the
     Iceberg/Delta CDF contract is the same: snapshot-replacing commits
     force consumers to re-read).
@@ -59,7 +61,11 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
     key_cols = list(src_t["key_cols"])
 
     def _recopy() -> dict:
-        rows = src.read(name)
+        # pin the snapshot to to_v: reading the live manifest would let
+        # an upstream commit racing the recopy land rows the cursor
+        # hasn't covered, and the next poll would apply them twice
+        # (append windows would then hold duplicates forever)
+        rows = src.read(name, manifest=src.manifest_at(to_v))
         n = rows.count()
         txn = dst.begin()
         txn.create_or_replace(dst_name, rows, tuple(key_cols),
@@ -69,30 +75,28 @@ def sync_from_changes(src: LakeCatalog, dst: LakeCatalog,
         return {"applied": True, "from_version": from_v,
                 "to_version": to_v, "n_keys": n, "recopied": True}
 
-    try:
-        delta = src.changes(name, from_v, to_v)
-    except ValueError:
+    # op kinds come from the manifests' op journal (driver-side JSON,
+    # zero Spark scans) — the apply strategy is decided BEFORE any
+    # plan is built or data file is touched
+    kinds = src.window_op_kinds(name, from_v, to_v)
+    if "replace" in kinds or {"merge", "append"} <= kinds:
+        # no single idempotent incremental form: a wholesale replace
+        # has no row-level delta, and a window mixing append + merge
+        # ops on one table has no consistent one-shot apply order
         if on_non_incremental == "recopy":
             return _recopy()
-        raise
+        raise ValueError(
+            f"sync: window v({from_v}, {to_v}] holds "
+            f"{sorted(kinds)} ops on {name!r} — no incremental form; "
+            "sync each commit range separately (or pass "
+            "on_non_incremental='recopy')")
+    delta = src.changes(name, from_v, to_v)
 
     # append-only tables accumulate rows per key upstream (and write no
     # markers), so folding their 'insert' changes into a last-commit-
     # wins MoR merge would keep only the newest append per key and
-    # silently diverge. Inserts replay as an append instead; a window
-    # mixing append + merge ops on one table has no single consistent
-    # apply order here — refuse loudly.
-    kinds = {r["_change_type"]
-             for r in delta.select("_change_type").distinct().collect()}
-    if "insert" in kinds:
-        if kinds - {"insert"}:
-            if on_non_incremental == "recopy":
-                return _recopy()
-            raise ValueError(
-                f"sync: window v({from_v}, {to_v}] mixes append "
-                f"('insert') and merge ops on {name!r} — cannot apply "
-                "as one idempotent step; sync each commit range "
-                "separately (or pass on_non_incremental='recopy')")
+    # silently diverge. Inserts replay as an append instead.
+    if kinds == {"append"}:
         rows = delta.drop("_change_type", "_commit_version")
         n_rows = rows.count()
         txn = dst.begin()

@@ -325,12 +325,17 @@ def lsh_jaccard_neardups(spark: SparkSession, sf: str) -> DataFrame:
     # stats -> self-join), and the verify query would otherwise carry
     # it as a live subtree that AQE/stage-retry can re-derive. The set
     # is bounded by construction (MAX_BUCKET stop-buckets cap the pair
-    # count), so an eager localCheckpoint — executor-memory/disk blocks,
-    # no lineage — is the cheap truncation point; the verify joins then
-    # start from the checkpointed rows.
+    # count), so an eager persist + count materializes it once and the
+    # verify joins read the cached rows. persist (not localCheckpoint):
+    # it KEEPS lineage, so losing an executor's blocks mid-verify —
+    # routine on a long 100 TB dedup run — recomputes the lost
+    # partitions instead of failing the job on a missing checkpoint
+    # block.
+    from pyspark.storagelevel import StorageLevel
     cands = (minhash_lsh_pairs(spark, sf)
              .select("doc_a", "doc_b")
-             .localCheckpoint())
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    cands.count()  # materialize now: the banding exchange runs ONCE
     grams = (spread(table(spark, sf, "documents"))
              .withColumn("toks", F.split("text", " "))
              .filter(F.size("toks") >= 3)

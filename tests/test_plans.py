@@ -194,13 +194,17 @@ def test_spread_skips_exchange_on_already_parallel_input(spark, tmp_path):
 
 def test_lsh_neardups_banding_runs_once(spark):
     """lsh_jaccard_neardups materializes the candidate pairs ONCE
-    (eager localCheckpoint, bounded by the stop-bucket cap): the
-    verify query's plan starts from the checkpointed rows, so the
-    banding exchange — the suite's widest DAG — cannot re-execute
-    inside the verify joins."""
+    (eager lineage-preserving persist, bounded by the stop-bucket
+    cap): the verify query reads the cached rows, so the banding
+    exchange — the suite's widest DAG — does not re-execute inside
+    the verify joins (and a lost cache block recomputes via lineage
+    instead of failing the job, unlike a localCheckpoint)."""
     from grate_spark.ops.dedup import lsh_jaccard_neardups
 
     df = lsh_jaccard_neardups(spark, SF)
     plan = simple_plan(df)
-    assert "ExistingRDD" in plan, plan[:2000]
-    assert "hashpartitioning(band" not in plan, plan[:2000]
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    # the verify side itself re-derives no banding exchange above the
+    # cached scan (TableCacheQueryStage reuses the materialized blocks)
+    above = plan.split("InMemoryTableScan")[0]
+    assert "hashpartitioning(band" not in above, plan[:2000]
