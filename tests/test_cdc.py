@@ -1886,6 +1886,60 @@ def test_sync_recopy_on_non_incremental_windows(spark, tmp_path):
         state_fingerprint(src.read("t"), cols)
 
 
+def test_sync_crash_replay_is_idempotent(spark, tmp_path):
+    """A consumer that crashes after reading a window but before its
+    (atomic) apply+cursor commit re-polls the SAME window on restart;
+    re-applying it must be a no-op for converged state (the MoR merge
+    replaces each key's rows with identical rows, deletes re-tombstone
+    already-absent keys). Simulated by rolling the downstream cursor
+    back and polling again."""
+    from grate_spark.cdc.sync import sync_from_changes
+
+    src = LakeCatalog(spark, str(tmp_path / "src"))
+    dst = LakeCatalog(spark, str(tmp_path / "dst"))
+    cols = ["repo", "path", "row_id", "v"]
+    df = _mk_rows(spark, ("r", "p0", 1, "v1"), ("r", "p1", 1, "v1"),
+                  ("r", "p2", 1, "v1"))
+    txn = src.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    r1 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r1["applied"]
+
+    # window: update p0, then delete p1 (two upstream commits)
+    up = _mk_rows(spark, ("r", "p0", 1, "v2"))
+    txn = src.begin()
+    txn.merge_replace_keys("t", up, up.select("repo", "path"),
+                           ("repo", "path"), n_buckets=2)
+    txn.commit()
+    txn = src.begin()
+    txn.merge_replace_keys(
+        "t",
+        spark.createDataFrame([], "repo string, path string, "
+                                  "row_id int, v string"),
+        spark.createDataFrame([("r", "p1")], "repo string, path string"),
+        ("repo", "path"), n_buckets=2)
+    txn.commit()
+    r2 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r2["applied"]
+    want = state_fingerprint(dst.read("t"), cols)
+    assert want == state_fingerprint(src.read("t"), cols)
+
+    # crash-replay: roll the cursor back to before the window and poll
+    # again — the identical window re-applies onto converged state
+    txn = dst.begin()
+    txn.set_checkpoint({"sync:t": r2["from_version"]})
+    txn.commit()
+    r3 = sync_from_changes(src, dst, "t", n_buckets=2)
+    assert r3["applied"]
+    assert r3["from_version"] == r2["from_version"]
+    assert r3["to_version"] == r2["to_version"]
+    assert state_fingerprint(dst.read("t"), cols) == want
+    got = {(r["path"], r["v"]) for r in dst.read("t").collect()}
+    assert ("p0", "v2") in got and not any(p == "p1" for p, _ in got)
+
+
 def test_changes_batched_plan_matches_per_op(spark, tmp_path):
     """Big-window changelog reads take the batched O(schema-groups)
     plan (one scan per (kind, schema) + one delete anti-join, commit
