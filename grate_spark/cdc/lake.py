@@ -1041,14 +1041,24 @@ class Transaction:
                         buckets: list[int] | None,
                         extra_cols: tuple[str, ...] = (),
                         align_schema: bool = True,
-                        pre_partitioned: bool = False
+                        pre_partitioned: bool = False,
+                        sort_keys: bool = False
                         ) -> dict[str, list[dict]]:
         """Write df (aligned to schema + passthrough extras) partitioned
         by bucket; returns {bucket: [file entries]}. ``buckets`` limits
         output to the touched set (None = all). ``pre_partitioned``: the
         caller already clustered rows by the bucket key (e.g. blobs were
         exchanged on the bucket BEFORE extraction, so the extracted rows
-        inherit it) — write in place, no second shuffle."""
+        inherit it) — write in place, no second shuffle. ``sort_keys``:
+        sort rows by the merge key within each task before writing
+        [Iceberg: rewrite_data_files with a sort order] — parquet
+        row-group stats then carry tight, disjoint key ranges, so a
+        point lookup inside a LARGE compacted bucket prunes to one row
+        group instead of scanning the file. Maintenance rewrites
+        (compact/rebucket) pay this per-task sort off the ingest
+        critical path; the hot ingest path never does (per-commit files
+        are small and already pruned at file granularity via footer
+        bounds)."""
         key_cols = tuple(t["key_cols"])
         nb = t["n_buckets"]
         if align_schema:
@@ -1070,6 +1080,8 @@ class Transaction:
             k = int(os.environ.get("GRATE_WRITE_TASKS", "0")) \
                 or max(1, min(n_buckets_out, 2 * par))
             out = out.repartition(k, "_bucket")
+        if sort_keys:
+            out = out.sortWithinPartitions("_bucket", *key_cols)
         out.write.partitionBy("_bucket").mode("overwrite").parquet(full)
         files: dict[str, list[dict]] = {}
         sid = t["schema_id"]
@@ -1332,7 +1344,8 @@ class Transaction:
         if buckets is None:
             live = self.cat.read(name,
                                  {"tables": self.tables, "version": -1})
-            files = self._write_bucketed(name, t, live, schema, None)
+            files = self._write_bucketed(name, t, live, schema, None,
+                                         sort_keys=True)
             self._replace_buckets(name, t, files)
             t["markers"] = {}
             return
@@ -1346,7 +1359,8 @@ class Transaction:
                              buckets=chosen) \
             .withColumn("_seq", F.lit(seq).cast("long"))
         files = self._write_bucketed(name, t, live, schema, chosen,
-                                     extra_cols=("_seq",))
+                                     extra_cols=("_seq",),
+                                     sort_keys=True)
         for b in chosen:
             # a chosen bucket that compacted to zero live rows drops its
             # shard at commit (empty entry list)
@@ -1411,7 +1425,8 @@ class Transaction:
         live = self.cat.read(name,
                              {"tables": self.tables, "version": -1})
         t["n_buckets"] = new_n_buckets  # _write_bucketed routes by this
-        files = self._write_bucketed(name, t, live, schema, None)
+        files = self._write_bucketed(name, t, live, schema, None,
+                                     sort_keys=True)
         self._replace_buckets(name, t, files)
         t["markers"] = {}
         self._ops.append({"op": "rebucket", "table": name,

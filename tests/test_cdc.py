@@ -296,6 +296,45 @@ def test_lake_compaction_preserves_state(spark, tmp_path):
     assert cat.manifest()["tables"]["t"]["markers"] == {}
 
 
+def test_compact_writes_key_sorted_data_files(spark, tmp_path):
+    """Maintenance rewrites (compact) key-sort rows within each data
+    file [Iceberg: rewrite_data_files with a sort order], so parquet
+    row-group stats carry tight key ranges and a point lookup inside a
+    large compacted bucket prunes to a row group, not the whole file.
+    The hot ingest path is unaffected (file-level footer bounds only)."""
+    import pyarrow.parquet as pq
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    # enough keys that every bucket holds several, in scrambled order
+    rows = [("r", f"p{(i * 37) % 97:02d}", i, f"v{i}") for i in range(97)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, row_id int, v string")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=4)
+    txn.commit()
+    txn = cat.begin()
+    txn.compact("t")
+    txn.commit()
+
+    t = cat.manifest()["tables"]["t"]
+    n_files = 0
+    for b, entries in cat.table_files("t").items():
+        for e in entries:
+            tbl = pq.read_table(os.path.join(cat.root, e["path"]),
+                                columns=["repo", "path"])
+            keys = list(zip(tbl.column("repo").to_pylist(),
+                            tbl.column("path").to_pylist()))
+            assert keys == sorted(keys), \
+                f"bucket {b} file {e['path']} not key-sorted"
+            n_files += 1
+    assert n_files >= 4
+    # state preserved under the sort
+    got = sorted(r["path"] for r in cat.read("t").collect())
+    assert got == sorted({p for _, p, *_ in rows})
+    assert t["markers"] == {}
+
+
 def test_commit_metadata_scales_with_batch_not_table(spark, tmp_path):
     """A commit writes the small root manifest plus one shard per
     TOUCHED bucket — growing the rest of the table must not grow the
