@@ -591,11 +591,11 @@ class LakeCatalog:
                 merges_per_v[o["v"]] = merges_per_v.get(o["v"], 0) + 1
                 if merges_per_v[o["v"]] > 1:
                     return None
-        ver_pairs: list = []   # stage dir -> commit version
+        ver_rows: list[tuple[str, int]] = []  # stage dir -> version
         kind_of: dict[str, str] = {}
         groups: dict[tuple[str, int], list[str]] = {}
         marker_groups: dict[int, list[str]] = {}
-        marker_dirs: list = []
+        marker_rows: list[tuple[str, int]] = []
         import re as _re
         for o in ops:
             dirs = set()
@@ -608,7 +608,7 @@ class LakeCatalog:
                 if d in kind_of:   # shared stage dir across ops: bail
                     return None
                 kind_of[d] = o["kind"]
-                ver_pairs += [F.lit(d), F.lit(o["v"]).cast("long")]
+                ver_rows.append((d, int(o["v"])))
             if o["files"]:
                 groups.setdefault((o["kind"], o["sid"]), []).extend(
                     os.path.join(self.root, p) for p in o["files"])
@@ -620,20 +620,31 @@ class LakeCatalog:
                         return None
                     mdirs.add(m.group(1))
                 for d in mdirs:
-                    marker_dirs += [F.lit(d), F.lit(o["v"]).cast("long")]
+                    marker_rows.append((d, int(o["v"])))
                 marker_groups.setdefault(o["sid"], []).extend(
                     os.path.join(self.root, p) for p in o["markers"])
 
         stage = F.regexp_extract(F.input_file_name(),
                                  self._STAGE_RE, 1)
-        vmap = F.create_map(*ver_pairs) if ver_pairs else None
+
+        # version recovery is a BROADCAST HASH JOIN against the tiny
+        # (stage dir -> version) table, not a literal-map lookup:
+        # Catalyst evaluates element_at(create_map(...)) as a linear
+        # scan of the literals PER ROW, i.e. O(window-commits) work per
+        # row on exactly the big catch-up windows this plan exists for.
+        # The join keeps per-row cost O(1) however long the window is.
+        def _with_version(df: DataFrame,
+                          pairs: list[tuple[str, int]]) -> DataFrame:
+            vdf = self.spark.createDataFrame(
+                pairs, "_stage string, _commit_version long")
+            return (df.withColumn("_stage", stage)
+                    .join(F.broadcast(vdf), "_stage").drop("_stage"))
         parts: list[DataFrame] = []
         rows_keys = None  # (key_cols, _commit_version) of upsert rows
         for (kind, sid), paths in sorted(groups.items()):
             fs = StructType.fromJson(json.loads(t_to["schemas"][sid]))
-            scan = self.spark.read.schema(fs).parquet(*paths) \
-                .withColumn("_commit_version",
-                            F.element_at(vmap, stage))
+            scan = _with_version(
+                self.spark.read.schema(fs).parquet(*paths), ver_rows)
             rows = _align(scan, current, extras=("_commit_version",))
             part = rows.select(
                 *[F.col(f.name) for f in current.fields],
@@ -646,7 +657,6 @@ class LakeCatalog:
                 rows_keys = rk if rows_keys is None \
                     else rows_keys.unionByName(rk)
         if marker_groups:
-            mmap = F.create_map(*marker_dirs)
             # markers are read with each group's EXPLICIT key schema
             # (a key column widened mid-window would otherwise break
             # the schemaless multi-file scan), then cast to current
@@ -658,11 +668,11 @@ class LakeCatalog:
                     [f for f in fs.fields if f.name in key_cols]
                     + [StructField("seq", LongType(), True)])
                 cur_types = {f.name: f.dataType for f in current.fields}
-                g = (self.spark.read.schema(mschema).parquet(*paths)
-                     .select(*[F.col(k).cast(cur_types[k]).alias(k)
-                               for k in key_cols])
-                     .withColumn("_commit_version",
-                                 F.element_at(mmap, stage)))
+                g = _with_version(
+                    self.spark.read.schema(mschema).parquet(*paths),
+                    marker_rows) \
+                    .select(*[F.col(k).cast(cur_types[k]).alias(k)
+                              for k in key_cols], "_commit_version")
                 keys = g if keys is None else keys.unionByName(g)
             keys = keys.select(*key_cols, "_commit_version").distinct()
             if rows_keys is not None:

@@ -2016,17 +2016,22 @@ def test_changes_batched_plan_matches_per_op(spark, tmp_path):
     assert set(per_op.columns) == set(batched.columns)
     assert state_fingerprint(per_op, cols) == \
         state_fingerprint(batched, cols)
-    # the batched plan really is op-count-independent: scans are one
-    # per (kind, schema) group on the row side and one per schema on
-    # the marker side (each referenced again by the delete anti-join)
-    # — 8 relations here for 9 commits with a mid-window schema
-    # evolution, and STILL 8 at 900 commits; the per-op plan carries
-    # one subtree per op (~17 already at 9)
+    # the batched plan really is op-count-independent: FILE scans are
+    # one per (kind, schema) group on the row side and one per schema
+    # on the marker side (each referenced again by the delete
+    # anti-join) — 8 parquet relations here for 9 commits with a
+    # mid-window schema evolution, and STILL 8 at 900 commits; the
+    # per-op plan carries one subtree per op (~17 already at 9). The
+    # broadcast (stage dir -> version) LocalRelations are driver-tiny
+    # and excluded from the scan count.
     plan = batched._jdf.queryExecution().optimizedPlan().toString()
-    n_batched = plan.count("Relation [")
+    n_batched = plan.count("Relation [") - plan.count("LocalRelation")
     assert n_batched <= 8, plan[:2000]
     per_op_plan = per_op._jdf.queryExecution().optimizedPlan().toString()
     assert per_op_plan.count("Relation [") >= 2 * n_batched
+    # and version recovery must be the broadcast join, never a
+    # per-row literal-map scan (O(window) per row on big windows)
+    assert "map_keys" not in plan and "element_at" not in plan
     # and a window slice behaves identically too
     s1 = cat.changes("t", 3, batch_min=10**9)
     s2 = cat.changes("t", 3, batch_min=1)
