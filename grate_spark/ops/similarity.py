@@ -27,11 +27,13 @@ TOP_K = 3
 N_CENTROIDS = 8    # IVF coarse centers: vec_id < 8
 IVF_QUERIES = (8, 9, 10, 11, 12)
 
+EMB_DIM = 64  # every embeddings row is a fixed 64-dim vector (checked
+              # min=max=64, no nulls, at every SF)
+
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> "
         "cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
 _NORM = ("sqrt(aggregate({v}, 0D, (acc, x) -> "
          "acc + cast(x as double) * cast(x as double)))")
-
 
 def _cos_expr(a: str, b: str) -> str:
     return (f"round({_DOT.format(a=a, b=b)} / "
@@ -133,6 +135,62 @@ NEARDUP_SEED_DUPS = 10
 NEARDUP_SEED_OFFSET = 1_000_000
 
 
+# SUPERSET prefilter margin for the pair kernel: a pair can only reach
+# round(cos, 4) >= threshold if cos >= threshold - 0.00005, so keeping
+# everything with dot >= 0.9996 * threshold * (nrm_a * nrm_b) (relative
+# margin 4e-4, ten orders of magnitude above the ulp error of the
+# multiplied threshold) provably never drops a result row; the exact
+# JVM-side round(dot / (na * nb), 4) >= threshold then decides.
+NEARDUP_PREFILTER = 0.9996
+
+
+def _bucket_pair_kernel(threshold: float, block: int = 2048):
+    """mapInPandas kernel: same-centroid pairwise dot products in numpy
+    with the EXACT fold arithmetic — the Gram accumulation runs
+    dimension-major (G += outer(A[:, i], A[:, i]) for i in 0..d-1), so
+    each pair's dot performs the identical IEEE-754 additions in the
+    identical order as the Catalyst aggregate(zip_with(...)) fold, and
+    the emitted doubles are bit-equal (guide §4.2: hand whole batches
+    to vectorized native code instead of per-pair JVM expressions).
+    Emits only prefilter survivors: (vec_a, vec_b, _dot, _na, _nb).
+    Row blocks bound memory to block x bucket_size doubles."""
+    pre = NEARDUP_PREFILTER * threshold
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts: dict = {}
+        for pdf in batches:
+            for cid, sub in pdf.groupby("centroid_id", sort=False):
+                parts.setdefault(cid, []).append(sub)
+        for subs in parts.values():
+            pdf = pd.concat(subs, ignore_index=True) \
+                if len(subs) > 1 else subs[0]
+            n = len(pdf)
+            if n < 2:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            nrm = pdf["nrm"].to_numpy()
+            A = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf["v"]])
+            for s in range(0, n, block):
+                e = min(n, s + block)
+                G = np.zeros((e - s, n))
+                for i in range(A.shape[1]):
+                    G += np.outer(A[s:e, i], A[:, i])
+                mask = ((ids[s:e, None] < ids[None, :])
+                        & (G >= pre * np.outer(nrm[s:e], nrm)))
+                xs, ys = np.nonzero(mask)
+                if len(xs):
+                    yield pd.DataFrame({
+                        "vec_a": ids[s:e][xs], "vec_b": ids[ys],
+                        "_dot": G[xs, ys],
+                        "_na": nrm[s:e][xs], "_nb": nrm[ys]})
+
+    return kernel
+
+
 def neardup_pairs(emb: DataFrame,
                   threshold: float = NEARDUP_THRESHOLD,
                   n_centroids: int = NEARDUP_CENTROIDS) -> DataFrame:
@@ -140,33 +198,51 @@ def neardup_pairs(emb: DataFrame,
     ``v`` is array<double>: IVF bucket assignment prunes the candidate
     space (same-centroid pairs only), then exact cosine filters at the
     threshold — the vector analog of LSH-then-verify dedup. At scale
-    the bucket is the shuffle key."""
+    the bucket is the shuffle key.
+
+    The quadratic verify runs as a vectorized numpy kernel per centroid
+    bucket (_bucket_pair_kernel): one (centroid-keyed, explicitly
+    partitioned) exchange, bit-exact fold-order dots, and a superset
+    prefilter so only candidate rows cross back to the JVM — replacing
+    a salted self-join whose per-pair codegen was 10-40x slower than
+    the arithmetic floor. The final cosine is computed and thresholded
+    JVM-side — round(dot / (na * nb), 4) over the carried doubles — so
+    rounding semantics are identical to the naive plan; a lazy
+    localCheckpoint on the (tiny) candidate set keeps the global sort's
+    range-sampling pass from re-running the kernel."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
     cents = emb.filter(F.col("vec_id") < n_centroids) \
         .select(F.col("vec_id").alias("centroid_id"),
                 F.col("v").alias("cv"))
     assigned = (emb.crossJoin(F.broadcast(cents))
                 .withColumn("ccos", F.expr(_cos_expr("cv", "v"))))
     assignment = _argmax_assignment(assigned)
-    # each vector's norm is computed ONCE here instead of inside every
-    # pair of the quadratic stage (the denominator value — and thus the
-    # rounded cosine — is bit-identical; only the evaluation count
-    # changes: O(n) norms instead of O(pairs))
-    assignment = assignment.withColumn("nrm",
-                                       F.expr(_NORM.format(v="v")))
-    # materialization barrier: the self-join's two sides reuse ONE
-    # computed assignment exchange instead of recomputing the
-    # centroid-assignment cross join per side
-    assignment = assignment.repartition("centroid_id")
-    a = assignment.alias("a")
-    b = assignment.alias("b")
-    pair_cos = F.expr(f"round({_DOT.format(a='a.v', b='b.v')} / "
-                      f"(a.nrm * b.nrm), 4)")
-    return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .withColumn("cos", pair_cos)
+    # each vector's norm is computed ONCE here (JVM fold), shipped into
+    # the kernel and carried back with each candidate, so the final
+    # division uses the bit-identical denominator
+    flat = (assignment
+            .withColumn("nrm", F.expr(_NORM.format(v="v")))
+            .select("vec_id", "centroid_id", "nrm", "v"))
+    # explicit partition count: rows are tiny in bytes but carry
+    # O(bucket^2) compute — AQE's byte-based coalescing would fold the
+    # stage to one task (guide §2.5's mis-sized-partition case)
+    n_parts = 3 * emb.sparkSession.sparkContext.defaultParallelism
+    schema = StructType([
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("_dot", DoubleType()),
+        StructField("_na", DoubleType()),
+        StructField("_nb", DoubleType())])
+    cand = (flat.repartition(n_parts, "centroid_id")
+            .mapInPandas(_bucket_pair_kernel(threshold), schema))
+    cand = cand.localCheckpoint(eager=False)
+    return (cand.withColumn(
+                "cos", F.round(F.col("_dot")
+                               / (F.col("_na") * F.col("_nb")), 4))
             .filter(F.col("cos") >= threshold)
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"), "cos")
+            .select("vec_a", "vec_b", "cos")
             .orderBy("vec_a", "vec_b"))
 
 
@@ -277,8 +353,14 @@ def train_ivf_centroids(emb: DataFrame, k: int,
     across partitionings (float sum order).
     """
     spark = emb.sparkSession
-    norm = F.expr(f"transform(v, x -> x / {_NORM.format(v='v')})")
-    unit = emb.select("vec_id", norm.alias("v")).cache()
+    # the norm is hoisted OUT of the per-element lambda: inlined it is
+    # re-evaluated (as an interpreted fold) for EVERY element — O(d^2)
+    # per row; the hoisted column is the same double, so each division
+    # and the resulting unit vector are bit-identical
+    unit = (emb.withColumn("_nrm", F.expr(_NORM.format(v="v")))
+            .select("vec_id",
+                    F.expr("transform(v, x -> x / _nrm)").alias("v"))
+            .cache())
     try:
         cents = [(int(r["vec_id"]), list(r["v"])) for r in
                  unit.orderBy("vec_id").limit(k).collect()]

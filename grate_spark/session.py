@@ -61,6 +61,11 @@ def get_spark(cpus: int | str | None = None,
         # batch into one wave)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # default 100 silently drops whole-stage codegen for wide
+        # operators — the 64-dim flat-vector scoring projections and
+        # the schema-evolved wide table (c001..c256) both exceed it and
+        # fell back to interpreted row-at-a-time eval
+        .config("spark.sql.codegen.maxFields", "512")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # blob rows are ~100KB each (file contents): 256 rows ≈ 25MB per
         # Arrow batch keeps the python workers' resident set and copy
