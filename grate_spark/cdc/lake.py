@@ -1189,7 +1189,8 @@ class Transaction:
                     delete_keys: DataFrame,
                     key_cols: tuple[str, ...],
                     n_buckets: int = 32,
-                    touched: list[int] | None = None) -> dict:
+                    touched: list[int] | None = None,
+                    approx_keys: int | None = None) -> dict:
         """MERGE/upsert where the data files were already written by
         the caller's tasks (arrow-native fused writer,
         operators/fused_write.py) into a ``stage_rel`` directory at
@@ -1221,19 +1222,8 @@ class Transaction:
         for b, fs in files.items():
             self._extend_bucket(name, t, b, fs)
 
-        markers = keys.withColumn("seq", F.lit(seq).cast("long"))
-        rel = self._stage_dir(name + ".markers")
-        full = os.path.join(self.cat.root, rel)
-        # single sorted file: key-ordered rows give the parquet
-        # footer/page stats tight key ranges, so a point lookup's
-        # marker scan prunes to the page(s) holding its key
-        markers.coalesce(1).sortWithinPartitions(*key_cols) \
-            .write.mode("overwrite").parquet(full)
-        entries = [{"path": os.path.join(rel, fn),
-                    "schema_id": sid,
-                    "bytes": os.path.getsize(os.path.join(full, fn))}
-                   for fn in sorted(os.listdir(full))
-                   if fn.endswith(".parquet")]
+        entries = self._write_marker_file(name, sid, keys, key_cols,
+                                          seq, approx_keys)
         self._append_markers(name, t, entries)
 
         self._ops.append({
@@ -1244,12 +1234,63 @@ class Transaction:
                      for fs in files.values() for e in fs]
         return {"buckets": touched, "files": new_paths}
 
+    # batches whose key count is known to be at most this write their
+    # marker file driver-side with pyarrow (one collect of slim key
+    # rows) instead of spinning a dedicated single-task Spark job —
+    # same fixed-cost argument as the metrics flush
+    DRIVER_MARKERS_MAX = 200_000
+
+    def _write_marker_file(self, name: str, schema_id, keys: DataFrame,
+                           key_cols: tuple[str, ...], seq: int,
+                           approx_keys: int | None) -> list[dict]:
+        """Markers: the batch's distinct keys -> ONE key-sorted parquet
+        file, stored unbucketed (read in full, reset by compact).
+        Key-ordered rows give the parquet footer/page stats tight key
+        ranges, so a point lookup's marker scan prunes to the page(s)
+        holding its key. Key sets bounded by the caller's hint are
+        written DRIVER-SIDE with pyarrow — the dedicated one-task
+        Spark job was pure fixed cost on the ingest path; bigger (or
+        unhinted) key sets keep the distributed write."""
+        rel = self._stage_dir(name + ".markers")
+        full = os.path.join(self.cat.root, rel)
+        _PA_TYPES = {"string": "string", "bigint": "int64",
+                     "int": "int32", "double": "float64"}
+        key_pa = [_PA_TYPES.get(f.dataType.simpleString())
+                  for f in keys.schema.fields]
+        if approx_keys is not None \
+                and approx_keys <= self.DRIVER_MARKERS_MAX \
+                and all(key_pa):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            rows = sorted(tuple(r[c] for c in key_cols)
+                          for r in keys.collect())
+            cols = {c: [r[i] for r in rows]
+                    for i, c in enumerate(key_cols)}
+            cols["seq"] = [seq] * len(rows)
+            pa_schema = pa.schema(
+                [(c, getattr(pa, tp)())
+                 for c, tp in zip(key_cols, key_pa)]
+                + [("seq", pa.int64())])
+            os.makedirs(full, exist_ok=True)
+            pq.write_table(pa.table(cols, schema=pa_schema),
+                           os.path.join(full, "part-00000.parquet"))
+        else:
+            markers = keys.withColumn("seq", F.lit(seq).cast("long"))
+            markers.coalesce(1).sortWithinPartitions(*key_cols) \
+                .write.mode("overwrite").parquet(full)
+        return [{"path": os.path.join(rel, fn),
+                 "schema_id": schema_id,
+                 "bytes": os.path.getsize(os.path.join(full, fn))}
+                for fn in sorted(os.listdir(full))
+                if fn.endswith(".parquet")]
+
     def merge_replace_keys(self, name: str, new_rows: DataFrame,
                            delete_keys: DataFrame,
                            key_cols: tuple[str, ...],
                            n_buckets: int = 32,
                            touched: list[int] | None = None,
-                           pre_partitioned: bool = False) -> dict:
+                           pre_partitioned: bool = False,
+                           approx_keys: int | None = None) -> dict:
         """The MERGE/upsert, merge-on-read: atomically replace every row
         whose merge key appears in ``delete_keys`` with the rows of
         ``new_rows`` (keys not previously present are plain inserts).
@@ -1289,21 +1330,8 @@ class Transaction:
         for b, fs in files.items():
             self._extend_bucket(name, t, b, fs)
 
-        # markers: tiny (batch's distinct keys) -> single-task write, no
-        # shuffle; stored unbucketed (read in full, reset by compact)
-        markers = keys.withColumn("seq", F.lit(seq).cast("long"))
-        rel = self._stage_dir(name + ".markers")
-        full = os.path.join(self.cat.root, rel)
-        # single sorted file: key-ordered rows give the parquet
-        # footer/page stats tight key ranges, so a point lookup's
-        # marker scan prunes to the page(s) holding its key
-        markers.coalesce(1).sortWithinPartitions(*key_cols) \
-            .write.mode("overwrite").parquet(full)
-        entries = [{"path": os.path.join(rel, fn),
-                    "schema_id": t["schema_id"],
-                    "bytes": os.path.getsize(os.path.join(full, fn))}
-                   for fn in sorted(os.listdir(full))
-                   if fn.endswith(".parquet")]
+        entries = self._write_marker_file(name, t["schema_id"], keys,
+                                          key_cols, seq, approx_keys)
         self._append_markers(name, t, entries)
 
         self._ops.append({

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..extract import TABULAR_SUFFIX_RE
 from ..operators.extraction import extract_files, with_content_sha
-from .lake import LakeCatalog
+from .lake import LakeCatalog, _bucket_expr
 
 RESULTS_TABLE = "results"
 WIDE_TABLE = "results_wide"
@@ -203,15 +203,48 @@ class CdcPipeline:
     # -- one micro-batch -------------------------------------------------------
 
     def apply_batch(self, events: DataFrame, lo: int, hi: int,
-                    batch_id: int) -> dict:
+                    batch_id: int, prefetched: tuple | None = None) -> dict:
         """Apply events with lo < offset <= hi. Returns batch metrics."""
         batch = (events
                  .filter((F.col("offset") > lo) & (F.col("offset") <= hi))
                  .filter(F.col("path").rlike(TABULAR_SUFFIX_RE)))
-        return self._apply(batch, lo, hi, batch_id)
+        return self._apply(batch, lo, hi, batch_id, prefetched=prefetched)
+
+    def _batch_precompute(self, events: DataFrame, lo: int,
+                          hi: int) -> tuple:
+        """The two read-only jobs a batch needs before its merge — the
+        latest-wins winner set (cached) and the grouping-sets stats
+        rollup — computed from the immutable event log alone, so the
+        replay loop can run them for batch i+1 CONCURRENTLY with batch
+        i's merge (guide §2.6: overlap independent jobs; the stats
+        tasks back-fill the cores the merge's tail leaves idle).
+        Returns (winners_df_cached, rolled_rows)."""
+        batch = (events
+                 .filter((F.col("offset") > lo) & (F.col("offset") <= hi))
+                 .filter(F.col("path").rlike(TABULAR_SUFFIX_RE)))
+        return self._precompute_from_batch(batch)
+
+    def _precompute_from_batch(self, batch: DataFrame) -> tuple:
+        w = Window.partitionBy("repo", "path").orderBy(F.desc("offset"))
+        winners = (batch.select("repo", "path", "offset", "op")
+                   .withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        winners.cache()
+        rolled = (batch.withColumn(
+            "_b", _bucket_expr(MERGE_KEY, self.n_buckets))
+            .groupingSets([["partition"], ["_b"], []],
+                          "partition", "_b")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("offset").alias("n_offsets"),
+                 F.min("offset").alias("min_offset"),
+                 F.max("offset").alias("max_offset"),
+                 F.grouping("partition").alias("_gp"),
+                 F.grouping("_b").alias("_gb"))
+            .collect())
+        return winners, rolled
 
     def _apply(self, batch: DataFrame, lo: int, hi: int,
-               batch_id: int) -> dict:
+               batch_id: int, prefetched: tuple | None = None) -> dict:
         import os as _os
         import time as _time
         _dbg = _os.environ.get("GRATE_CDC_TIMING") == "1"
@@ -228,36 +261,20 @@ class CdcPipeline:
         # latest-offset-wins per file key within the batch, computed on
         # KEY COLUMNS ONLY (repo, path, offset, op) — never the blob
         # payload. The winners set is one row per distinct key: small,
-        # cacheable, broadcastable.
-        w = Window.partitionBy("repo", "path").orderBy(F.desc("offset"))
-        winners = (batch.select("repo", "path", "offset", "op")
-                   .withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn"))
-        winners.cache()
+        # cacheable, broadcastable. The grouping sets
+        # {(partition), (_b), ()} yield all three stat levels in ONE
+        # action: (partition) -> per-partition lineage, (_b) ->
+        # per-bucket event counts (touched set + the salt plan's skew
+        # signal), () -> the GLOBAL countDistinct(offset) that catches
+        # a duplicate offset redelivered under TWO different
+        # `partition` values. Both jobs read only the immutable event
+        # log, so the replay loop PREFETCHES them for batch i+1 while
+        # batch i's merge runs (``prefetched``).
+        if prefetched is not None:
+            winners, rolled = prefetched
+        else:
+            winners, rolled = self._precompute_from_batch(batch)
         try:
-            # ONE driver action gives per-partition lineage, the event
-            # count, and the touched-bucket set (shared by both merges)
-            from .lake import _bucket_expr
-            # grouping sets {(partition), (_b), ()} make ONE action
-            # yield all three stat levels the batch needs:
-            #   (partition) -> per-partition lineage,
-            #   (_b)        -> per-BUCKET event counts (touched set +
-            #                  the skew signal the salt plan reads),
-            #   ()          -> the GLOBAL countDistinct(offset), which
-            #                  catches a duplicate offset redelivered
-            #                  under TWO different `partition` values —
-            #                  summing per-partition distincts would not
-            rolled = (batch.withColumn(
-                "_b", _bucket_expr(MERGE_KEY, self.n_buckets))
-                .groupingSets([["partition"], ["_b"], []],
-                              "partition", "_b")
-                .agg(F.count("*").alias("n"),
-                     F.countDistinct("offset").alias("n_offsets"),
-                     F.min("offset").alias("min_offset"),
-                     F.max("offset").alias("max_offset"),
-                     F.grouping("partition").alias("_gp"),
-                     F.grouping("_b").alias("_gb"))
-                .collect())
             _mark("part stats")
             # grouping sets over ZERO input rows yield ZERO output rows
             # (not a single all-null total row), so an empty batch —
@@ -309,6 +326,8 @@ class CdcPipeline:
                 # window — ONE blob shuffle, co-partitioned on the
                 # merge key, so a hot repo still fans out (at cluster
                 # scale a bucketed event table turns this into SPJ)
+                w = Window.partitionBy("repo", "path") \
+                    .orderBy(F.desc("offset"))
                 latest = (batch.withColumn(
                     "_rn", F.row_number().over(w))
                     .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
@@ -390,7 +409,8 @@ class CdcPipeline:
                 stats = txn.merge_files(RESULTS_TABLE, ROW_SCHEMA,
                                         entries_by_bucket, all_keys,
                                         MERGE_KEY, self.n_buckets,
-                                        touched=touched)
+                                        touched=touched,
+                                        approx_keys=n_events)
                 n_rows = int(sum(r["n_rows"] for r in manifest))
                 n_error_rows = int(sum(r["n_error_rows"]
                                        for r in manifest))
@@ -425,7 +445,8 @@ class CdcPipeline:
                 stats = txn.merge_replace_keys(
                     RESULTS_TABLE, rows, all_keys, MERGE_KEY,
                     self.n_buckets, touched=touched,
-                    pre_partitioned=bucket_blobs)
+                    pre_partitioned=bucket_blobs,
+                    approx_keys=n_events)
                 _mark("merge results (extraction fused)")
 
                 # the merge's write action completed, so the observed
@@ -461,7 +482,8 @@ class CdcPipeline:
                                        self.n_buckets,
                                        touched=touched if same_spec
                                        else None,
-                                       pre_partitioned=same_spec)
+                                       pre_partitioned=same_spec,
+                                       approx_keys=n_events)
                 _mark("merge wide view (fused, no exchange)")
 
             # per-batch ingest metrics buffer — flushed to the metrics
@@ -540,6 +562,28 @@ class CdcPipeline:
         import time as _time
         _dbg = _os.environ.get("GRATE_CDC_TIMING") == "1"
         _t = _time.perf_counter()
+        # batch [lo, hi] ranges are pure arithmetic over (checkpoint,
+        # batch_size, hwm) — the checkpoint advances to hi whether or
+        # not a batch commits rows — so each batch's read-only jobs
+        # (winners window + stats rollup over the immutable log) can be
+        # PREFETCHED on a driver thread while the previous batch's
+        # merge (or, for batch 1, the hwm scan) runs: their tasks
+        # back-fill the cores the merge's straggler tail leaves idle
+        # (guide §2.6). A prefetched hi past the hwm selects exactly
+        # the (lo, hwm] rows, so the optimistic first guess also
+        # covers a final short batch.
+        from concurrent.futures import ThreadPoolExecutor
+        pool = None
+        pending = None  # (lo, hi, future)
+        self._sync_bucket_spec()
+        ckpt0 = int(self.lake.checkpoint().get("global", 0))
+        if batch_size is not None and (max_batches is None
+                                       or max_batches > 0):
+            pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="cdc-prefetch")
+            pending = (ckpt0, ckpt0 + batch_size,
+                       pool.submit(self._batch_precompute, events,
+                                   ckpt0, ckpt0 + batch_size))
         hwm_row = events.agg(F.max("offset").alias("h")).collect()[0]
         if _dbg:
             print(f"    [replay] hwm scan: "
@@ -547,30 +591,63 @@ class CdcPipeline:
         hwm = hwm_row["h"] or 0
         results = []
         n = 0
-        self._sync_bucket_spec()
-        while True:
-            ckpt = int(self.lake.checkpoint().get("global", 0))
-            if ckpt >= hwm:
-                break
-            if max_batches is not None and n >= max_batches:
-                break
-            hi = hwm if batch_size is None else min(ckpt + batch_size, hwm)
-            batch_id = len(self.lake.lineage()) + 1
-            import time as _time
-            t0 = _time.perf_counter()
-            res = self.apply_batch(events, ckpt, hi, batch_id)
-            res["seconds"] = _time.perf_counter() - t0
-            if not res.get("committed"):
-                # nothing tabular in range: still advance the checkpoint
-                # so replay terminates (offset watermark only)
-                txn = self.lake.begin()
-                txn.set_checkpoint({"global": hi},
-                                   {"batch_id": batch_id, "lo": ckpt,
-                                    "hi": hi, "partitions": [],
-                                    "buckets": []})
-                txn.commit()
-            results.append(res)
-            n += 1
+        try:
+            while True:
+                ckpt = int(self.lake.checkpoint().get("global", 0))
+                if ckpt >= hwm:
+                    break
+                if max_batches is not None and n >= max_batches:
+                    break
+                hi = hwm if batch_size is None \
+                    else min(ckpt + batch_size, hwm)
+                batch_id = len(self.lake.lineage()) + 1
+                pre = None
+                if pending is not None:
+                    if pending[0] == ckpt and (
+                            pending[1] == hi
+                            or (hi == hwm and pending[1] >= hwm)):
+                        pre = pending[2].result()
+                    else:  # resumed elsewhere: discard the prefetch
+                        pending[2].result()[0].unpersist()
+                    pending = None
+                nxt_lo = hi
+                nxt_hi = hwm if batch_size is None \
+                    else min(hi + batch_size, hwm)
+                if nxt_lo < nxt_hi and (max_batches is None
+                                        or n + 1 < max_batches):
+                    if pool is None:
+                        pool = ThreadPoolExecutor(
+                            max_workers=1,
+                            thread_name_prefix="cdc-prefetch")
+                    pending = (nxt_lo, nxt_hi,
+                               pool.submit(self._batch_precompute,
+                                           events, nxt_lo, nxt_hi))
+                import time as _time
+                t0 = _time.perf_counter()
+                res = self.apply_batch(events, ckpt, hi, batch_id,
+                                       prefetched=pre)
+                res["seconds"] = _time.perf_counter() - t0
+                if not res.get("committed"):
+                    # nothing tabular in range: still advance the
+                    # checkpoint so replay terminates (offset watermark
+                    # only)
+                    txn = self.lake.begin()
+                    txn.set_checkpoint({"global": hi},
+                                       {"batch_id": batch_id,
+                                        "lo": ckpt,
+                                        "hi": hi, "partitions": [],
+                                        "buckets": []})
+                    txn.commit()
+                results.append(res)
+                n += 1
+        finally:
+            if pending is not None:
+                try:
+                    pending[2].result()[0].unpersist()
+                except Exception:
+                    pass
+            if pool is not None:
+                pool.shutdown()
         _t = _time.perf_counter()
         self.flush_metrics()
         if _dbg:

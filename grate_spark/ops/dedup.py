@@ -274,19 +274,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str,
     stats = _observe_cap(stats, "_n", MAX_BLOCK, cap_metrics,
                          "jaccard-stop-blocks")
     small = stats.filter(F.col("_n") <= MAX_BLOCK).drop("_n")
-    docs = docs.join(small, ["lang", "n_chars"])
+    # ONE block-keyed exchange shared by both self-join sides (AQE
+    # stage reuse): without it each side recomputes the shingle +
+    # distinct projection over every document, and when the planner
+    # broadcasts one side the whole gram table transits the driver.
+    # The explicit partition count keeps AQE's byte-based coalescing
+    # from folding the (compute-heavy, byte-light) pair stage into a
+    # handful of tasks.
+    n_parts = 3 * spark.sparkContext.defaultParallelism
+    docs = (docs.join(F.broadcast(small), ["lang", "n_chars"])
+            .repartition(n_parts, "lang", "n_chars"))
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.n_chars") == F.col("b.n_chars"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(inter.cast("double") / union, 4)
-                    .alias("jaccard"))
-            .orderBy("doc_a", "doc_b"))
+    pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.n_chars") == F.col("b.n_chars"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.round(inter.cast("double") / union, 4)
+                     .alias("jaccard")))
+    # lazy lineage cut: the global sort's range-sampling pass would
+    # otherwise re-execute the whole pair join to pick bounds
+    return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 NGRAM_JACCARD_PAIRS_SQL = f"""

@@ -71,6 +71,15 @@ def get_spark(cpus: int | str | None = None,
         # Arrow batch keeps the python workers' resident set and copy
         # churn bounded (2048 would mean ~300MB batches per worker)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # commit output by direct rename-per-file (v2) instead of the
+        # two-phase per-task + job-commit rename cascade (v1): the CDC
+        # merge writes a fresh staged directory per batch whose
+        # atomicity comes from the lake MANIFEST commit, not the
+        # Hadoop committer, so v1's extra renames are pure overhead.
+        # (An object-store deployment replaces this with its own
+        # committer; the manifest keeps correctness either way.)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
