@@ -330,7 +330,29 @@ def lsh_jaccard_neardups(spark: SparkSession, sf: str) -> DataFrame:
     stage is banding+stop-buckets (never all-pairs); the verify stage
     touches only candidate pairs, so the whole pipeline is linear in
     candidates — this is the composition a 100 TB dedup run uses
-    (replaces the quadratic-on-skew (lang, n_chars) blocking)."""
+    (replaces the quadratic-on-skew (lang, n_chars) blocking).
+
+    The returned frame sorts ABOVE a lazy lineage cut of the (tiny)
+    verified pair set, so the global sort's range-sampling pass cannot
+    re-execute the gram joins; ``_lsh_jaccard_verify`` exposes the
+    uncut verify plan for the plan gates."""
+    verify, cands = _lsh_jaccard_verify(spark, sf)
+    out = (verify
+           .localCheckpoint(eager=False)
+           .orderBy("doc_a", "doc_b"))
+    # release the candidate cache when the caller drops the result
+    # frame: without this, every call in a long-lived session left a
+    # MEMORY_AND_DISK materialization registered in the CacheManager
+    # forever. Unpersisting is always safe — the cached plan keeps its
+    # lineage, so a late re-collect of a still-held result recomputes.
+    import weakref
+    weakref.finalize(out, _unpersist_quietly, cands)
+    return out
+
+
+def _lsh_jaccard_verify(spark: SparkSession,
+                        sf: str) -> tuple[DataFrame, DataFrame]:
+    """The unsorted verify frame plus the persisted candidate set."""
     # materialize the candidate set ONCE: the banding subtree is the
     # suite's widest DAG (signatures -> band exchange -> stop-bucket
     # stats -> self-join), and the verify query would otherwise carry
@@ -361,12 +383,19 @@ def lsh_jaccard_neardups(spark: SparkSession, sf: str) -> DataFrame:
                      F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
-    return (cands.join(a, "doc_a").join(b, "doc_b")
-            .withColumn("jaccard",
-                        F.round(inter.cast("double") / union, 4))
-            .filter(F.col("jaccard") >= NEARDUP_JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", "jaccard")
-            .orderBy("doc_a", "doc_b"))
+    verify = (cands.join(a, "doc_a").join(b, "doc_b")
+              .withColumn("jaccard",
+                          F.round(inter.cast("double") / union, 4))
+              .filter(F.col("jaccard") >= NEARDUP_JACCARD_THRESHOLD)
+              .select("doc_a", "doc_b", "jaccard"))
+    return verify, cands
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped
 
 
 LSH_JACCARD_NEARDUPS_SQL = f"""

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from . import md5_bigint_expr, md5_bigint_sql, word_shingles_expr, \
     word_shingles_sql
-from ..queries_util import table
+from ..queries_util import spread, table
 
 SAMPLE_DOCS = 60
 
@@ -80,8 +80,10 @@ LANGID_PREDICTIONS_SQL = _langid_sql()
 
 def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality features + composite score per doc, rolled up
-    by lang (length, mean word length, stopword ratio, punct ratio)."""
-    docs = table(spark, sf, "documents")
+    by lang (length, mean word length, stopword ratio, punct ratio).
+    The scan is spread first: the sf tables are single-row-group files
+    (one scan task), and the per-row regexes are the cost."""
+    docs = spread(table(spark, sf, "documents"))
     n_tokens = F.size(F.split("text", " "))
     n_stop = F.regexp_count("text", F.lit(r"\b(the|a|of|and|to|in)\b"))
     n_punct = F.regexp_count("text", F.lit(r"[.,;:!?]"))
@@ -140,8 +142,10 @@ FROM q GROUP BY lang ORDER BY lang
 
 def token_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace tokens + BPE-ish subword pieces (letter runs / digit
-    runs / single other chars) per doc, rolled up by source."""
-    docs = table(spark, sf, "documents")
+    runs / single other chars) per doc, rolled up by source. Spread
+    first: single-row-group scan, regex-per-row cost (see
+    quality_scores)."""
+    docs = spread(table(spark, sf, "documents"))
     ws = F.size(F.split("text", " "))
     bpe = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
     return (docs.select("source", ws.alias("ws_tokens"),

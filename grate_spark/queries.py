@@ -170,16 +170,21 @@ GROUP BY r_name ORDER BY r_name
 # CDC-shaped operators over the events change log
 
 def events_latest_per_key(spark, sf):
-    """Latest-offset-wins per key — the in-batch dedup window the MERGE
-    pipeline runs before upserting (SURVEY §2.G1)."""
+    """Latest-offset-wins per key — the in-batch dedup the MERGE
+    pipeline runs before upserting (SURVEY §2.G1). Expressed as a
+    max_by aggregation instead of a row_number window: the partial
+    (map-side) aggregate collapses the table to one row per key before
+    any exchange, where the window had to shuffle + sort EVERY event
+    row. event_id is the unique total order, so max_by picks exactly
+    the window's rn=1 row."""
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
-    return (ev.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    last = F.max_by(F.struct("event_id", "event_type", "value"),
+                    "event_id").alias("m")
+    return (ev.groupBy("user_id").agg(last)
             .select("user_id",
-                    F.col("event_id").alias("last_event_id"),
-                    F.col("event_type").alias("last_event_type"),
-                    F.round("value", 2).alias("last_value"))
+                    F.col("m.event_id").alias("last_event_id"),
+                    F.col("m.event_type").alias("last_event_type"),
+                    F.round("m.value", 2).alias("last_value"))
             .orderBy("user_id"))
 
 
@@ -308,14 +313,16 @@ def extract_csv_roundtrip(spark, sf):
 
     blobs = _docs_as_csv_blobs(spark, sf)
     rows = extract_files(blobs)
-    return (rows.filter(F.col("error").isNull() & (F.col("row_id") >= 1))
-            .select(
-                F.regexp_replace("sheet", r"\.csv$", "").alias("source"),
-                F.col("row_id"),
-                F.element_at("cells", 1).cast("long").alias("doc_id"),
-                F.element_at("cells", 2).alias("lang"),
-                F.element_at("cells", 3).cast("long").alias("n_chars"))
-            .orderBy("source", "row_id"))
+    out = (rows.filter(F.col("error").isNull() & (F.col("row_id") >= 1))
+           .select(
+               F.regexp_replace("sheet", r"\.csv$", "").alias("source"),
+               F.col("row_id"),
+               F.element_at("cells", 1).cast("long").alias("doc_id"),
+               F.element_at("cells", 2).alias("lang"),
+               F.element_at("cells", 3).cast("long").alias("n_chars")))
+    # lazy lineage cut: the global sort's range-sampling pass would
+    # otherwise run the extraction UDTF a second time to pick bounds
+    return out.localCheckpoint(eager=False).orderBy("source", "row_id")
 
 
 EXTRACT_CSV_ROUNDTRIP_SQL = """
@@ -337,10 +344,12 @@ def extract_csv_sha(spark, sf):
     rows = with_content_sha(
         extract_files(blobs).filter(
             F.col("error").isNull() & (F.col("row_id") >= 1)))
-    return (rows.select(
+    out = rows.select(
         F.regexp_replace("sheet", r"\.csv$", "").alias("source"),
         F.col("row_id"), F.col("content_sha256"))
-        .orderBy("source", "row_id"))
+    # lazy lineage cut: keeps the sort's range sampling from re-running
+    # the extraction + sha pass (see extract_csv_roundtrip)
+    return out.localCheckpoint(eager=False).orderBy("source", "row_id")
 
 
 EXTRACT_CSV_SHA_SQL = """

@@ -198,10 +198,13 @@ def test_lsh_neardups_banding_runs_once(spark):
     cap): the verify query reads the cached rows, so the banding
     exchange — the suite's widest DAG — does not re-execute inside
     the verify joins (and a lost cache block recomputes via lineage
-    instead of failing the job, unlike a localCheckpoint)."""
-    from grate_spark.ops.dedup import lsh_jaccard_neardups
+    instead of failing the job, unlike a localCheckpoint). Checked on
+    the UNSORTED verify plan — the public query sorts above a lazy
+    lineage cut of the tiny verified set (so range sampling cannot
+    re-run the joins), which hides the join subtree from its plan."""
+    from grate_spark.ops.dedup import _lsh_jaccard_verify
 
-    df = lsh_jaccard_neardups(spark, SF)
+    df, _cands = _lsh_jaccard_verify(spark, SF)
     plan = simple_plan(df)
     assert "InMemoryTableScan" in plan, plan[:2000]
     # the verify side itself re-derives no banding exchange above the
