@@ -137,23 +137,32 @@ def _lsh_pairs_from(docs: DataFrame,
     buckets = (mh.select("doc_id", F.explode(bands).alias("bk"))
                .select("doc_id", "bk.band", "bk.key"))
     # materialization barrier: without it Catalyst inlines the whole
-    # minhash expression tree into every band struct and every join
-    # side (signatures recomputed ~12x); the exchange computes the tiny
-    # (doc_id, band, key) rows once and is reused by all three readers
+    # minhash expression tree into every band struct (signatures
+    # recomputed ~12x); the exchange computes the tiny (doc_id, band,
+    # key) rows once. AQE-coalesced (no explicit count): unlike the
+    # neardup pair stage the per-bucket work here is light
+    # (collect_list + in-bucket expansion), and measured wall time is
+    # dominated by per-task scheduling at high partition counts
+    # (96 parts 3.5s vs coalesced 2.0s on the sf1.0 table).
     buckets = buckets.repartition("band", "key")
-    stats = (buckets.groupBy("band", "key")
-             .agg(F.count("*").alias("_n")))
-    stats = _observe_cap(stats, "_n", MAX_BUCKET, cap_metrics,
-                         "lsh-stop-buckets")
-    small = stats.filter(F.col("_n") <= MAX_BUCKET).drop("_n")
-    buckets = buckets.join(small, ["band", "key"])
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+    # one bucket = one aggregated row: the pair set is expanded from
+    # the bucket's sorted member list IN PLACE of the former
+    # stats-join + self-join (two fewer exchanges, no join sorts).
+    # groupBy keys match the repartition keys, so the aggregation adds
+    # no exchange of its own; the cap filter and drop metrics see the
+    # identical per-bucket counts.
+    grouped = (buckets.groupBy("band", "key")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("_l"),
+                    F.count("*").alias("_n")))
+    grouped = _observe_cap(grouped, "_n", MAX_BUCKET, cap_metrics,
+                           "lsh-stop-buckets")
+    pairs_expr = ("flatten(transform(_l, (x, i) -> "
+                  "transform(slice(_l, i + 2, size(_l)), "
+                  "y -> struct(x AS a, y AS b))))")
+    return (grouped.filter(F.col("_n") <= MAX_BUCKET)
+            .select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .select(F.col("p.a").alias("doc_a"),
+                    F.col("p.b").alias("doc_b"))
             .distinct()
             .orderBy("doc_a", "doc_b"))
 

@@ -72,6 +72,9 @@ def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank")
+            # lazy lineage cut below the global sort: the range
+            # sampling pass would re-run the scoring subtree
+            .localCheckpoint(eager=False)
             .orderBy("query_id", "rank"))
 
 
@@ -120,6 +123,8 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank")
+            # lazy lineage cut below the global sort (see cosine_topk)
+            .localCheckpoint(eager=False)
             .orderBy("query_id", "rank"))
 
 
@@ -428,6 +433,8 @@ def ann_topk_trained(emb: DataFrame, query_ids: list, centroids: list,
             .filter(F.col("rank") <= top_k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank")
+            # lazy lineage cut below the global sort (see cosine_topk)
+            .localCheckpoint(eager=False)
             .orderBy("query_id", "rank"))
 
 

@@ -242,11 +242,12 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 def docs_dedup_exact(spark, sf):
     """Exact dedup: keep the lowest doc_id per identical text, then count
-    survivors per language."""
+    survivors per language. min_by picks the window's rn=1 row (doc_id
+    is unique) with a hash aggregate instead of a full sort of every
+    text group."""
     docs = _t(spark, sf, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (docs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    return (docs.groupBy("text")
+            .agg(F.min_by("lang", "doc_id").alias("lang"))
             .groupBy("lang")
             .agg(F.count("*").alias("n_unique_docs"))
             .orderBy("lang"))
@@ -442,6 +443,9 @@ def cdc_replay_state(spark, sf):
         .alias("n_chars"),
         F.try_element_at("cells", F.lit(4)).cast("long")
         .alias("quality"))
+        # lazy lineage cut: the sort's range sampling re-runs the MoR
+        # read (file union + marker anti-join) otherwise
+        .localCheckpoint(eager=False)
         .orderBy("source", "row_id"))
 
 
@@ -530,6 +534,9 @@ def cdc_time_travel(spark, sf):
         .alias("n_chars"),
         F.try_element_at("cells", F.lit(4)).cast("long")
         .alias("quality"))
+        # lazy lineage cut: the sort's range sampling re-runs the MoR
+        # read (file union + marker anti-join) otherwise
+        .localCheckpoint(eager=False)
         .orderBy("source", "row_id"))
 
 
@@ -581,6 +588,7 @@ def cdc_point_lookup(spark, sf):
         .alias("n_chars"),
         F.try_element_at("cells", F.lit(4)).cast("long")
         .alias("quality"))
+        .localCheckpoint(eager=False)
         .orderBy("row_id"))
 
 
@@ -621,6 +629,9 @@ def cdc_changes_feed(spark, sf):
         .alias("n_chars"),
         F.try_element_at("cells", F.lit(4)).cast("long")
         .alias("quality"))
+        # lazy lineage cut: the sort's range sampling re-runs the MoR
+        # read (file union + marker anti-join) otherwise
+        .localCheckpoint(eager=False)
         .orderBy("source", "row_id"))
 
 
@@ -655,6 +666,7 @@ def cdc_wide_state(spark, sf):
         F.col("c002").alias("lang"),
         F.col("c003").cast("long").alias("n_chars"),
         quality.alias("quality"))
+        .localCheckpoint(eager=False)
         .orderBy("source", "row_id"))
 
 

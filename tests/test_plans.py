@@ -120,15 +120,21 @@ def test_no_cartesian_products_anywhere(spark):
 
 
 def test_dedup_reuses_signature_exchange(spark):
-    """The LSH self-join must reuse one computed signature exchange,
-    not recompute minhash per side."""
+    """The banding pipeline computes the minhash signatures ONCE: the
+    round-6 reshape expands each bucket's pair set from its aggregated
+    member list, so the plan has exactly one documents scan and no
+    self-join at all (the former gate asserted a ReusedExchange
+    between the two join sides; with no join sides the stronger
+    single-subtree property is structural)."""
     from grate_spark.ops.dedup import minhash_lsh_pairs
 
     df = minhash_lsh_pairs(spark, SF)
-    df.collect()  # AQE finalizes exchange reuse at runtime
-    plan = simple_plan(df)
-    assert "ReusedExchange" in plan, \
-        "minhash signatures recomputed per join side"
+    df.collect()  # AQE finalizes the executed plan
+    plan = simple_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct"):
+        assert join_op not in plan, plan[:2000]
 
 
 def test_bucket_blobs_fuses_extract_into_write(spark):
