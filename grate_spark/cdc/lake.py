@@ -1093,8 +1093,7 @@ class Transaction:
         if sort_keys:
             out = out.sortWithinPartitions("_bucket", *key_cols)
         out.write.partitionBy("_bucket").mode("overwrite").parquet(full)
-        files: dict[str, list[dict]] = {}
-        sid = t["schema_id"]
+        todo: list[tuple[str, str, str]] = []  # (bucket, relpath, abspath)
         for entry in sorted(os.listdir(full)):
             if not entry.startswith("_bucket="):
                 continue
@@ -1102,13 +1101,26 @@ class Transaction:
             bdir = os.path.join(full, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    e = {"path": os.path.join(rel, entry, fn),
-                         "schema_id": sid}
-                    kb = _footer_key_bounds(os.path.join(bdir, fn),
-                                            key_cols)
-                    if kb:
-                        e["bounds"] = kb
-                    files.setdefault(b, []).append(e)
+                    todo.append((b, os.path.join(rel, entry, fn),
+                                 os.path.join(bdir, fn)))
+        # footer bounds are metadata-only reads but were SERIAL driver
+        # work — one pyarrow open per written file per merge sat
+        # between the write job and the commit on the ingest hot path;
+        # the reads are I/O + GIL-releasing C parsing, so a small
+        # thread pool recovers them concurrently
+        from concurrent.futures import ThreadPoolExecutor
+        sid = t["schema_id"]
+        files: dict[str, list[dict]] = {}
+        if todo:
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(todo))) as pool:
+                kbs = list(pool.map(
+                    lambda x: _footer_key_bounds(x[2], key_cols), todo))
+            for (b, relp, _), kb in zip(todo, kbs):
+                e = {"path": relp, "schema_id": sid}
+                if kb:
+                    e["bounds"] = kb
+                files.setdefault(b, []).append(e)
         return files
 
     # -- operations --------------------------------------------------------------

@@ -56,21 +56,35 @@ _OUT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
 _CHUNK_ROWS = 8192
 
 
+_GC_TUNED = False
+
+
+def _tune_worker_gc() -> None:
+    """Extraction allocates millions of short-lived objects per batch;
+    with default thresholds CPython's gen2 collector rescans the whole
+    heap (pandas/pyarrow imports = ~200k live objects) every ~70k
+    allocations. The decoder graph is cycle-free, so freeze the
+    baseline heap and stretch the thresholds — 2-3x extraction
+    throughput on long-running workers. ONCE per worker process:
+    reused workers (spark.python.worker.reuse) run many tasks, and the
+    full collect+freeze costs tens of ms per call — per-task it was
+    pure fixed cost on the ingest path."""
+    global _GC_TUNED
+    if _GC_TUNED:
+        return
+    _GC_TUNED = True
+    import gc
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(200000, 100, 100)
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]
                      ) -> Iterator[pd.DataFrame]:
     # imports inside the worker process
     from grate_spark.extract import ExtractError, NotInFormat, extract_blob
 
-    # extraction allocates millions of short-lived objects per batch;
-    # with default thresholds CPython's gen2 collector rescans the whole
-    # heap (pandas/pyarrow imports = ~200k live objects) every ~70k
-    # allocations. The decoder graph is cycle-free, so freeze the
-    # baseline heap and stretch the thresholds — 2-3x extraction
-    # throughput on long-running workers.
-    import gc
-    gc.collect()
-    gc.freeze()
-    gc.set_threshold(200000, 100, 100)
+    _tune_worker_gc()
 
     buf: list[tuple] = []
 

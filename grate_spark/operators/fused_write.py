@@ -194,13 +194,10 @@ def make_extract_encode_fn(out_full: str, out_rel: str, seq: int,
         from grate_spark.extract import (ExtractError, NotInFormat,
                                          extract_blob)
 
-        # same allocator hygiene as the row-returning extractor: the
-        # decode graph is cycle-free, so freeze the baseline heap and
-        # stretch GC thresholds for the life of the task
-        import gc
-        gc.collect()
-        gc.freeze()
-        gc.set_threshold(200000, 100, 100)
+        # same allocator hygiene as the row-returning extractor, once
+        # per reused worker process (see extraction._tune_worker_gc)
+        from grate_spark.operators.extraction import _tune_worker_gc
+        _tune_worker_gc()
 
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
