@@ -49,6 +49,23 @@ def _ctrl_score(seconds: float = 0.8) -> float:
     return round(n / (time.perf_counter() - t0) / 1e6, 2)
 
 
+def wait_for_clean_epoch(budget: float, min_ctrl: float,
+                         probe=None, sleeper=None) -> float:
+    """Block until the single-core control reaches full speed or the
+    budget runs out; returns the remaining budget. Pure given
+    ``probe``/``sleeper`` (unit-tested); the bench gates EVERY trial on
+    this BEFORE running it — r5 burned 7/13 campaigns because the old
+    protocol only started waiting after n_trials trials had already
+    been spent inside a dirty window."""
+    import time as _time
+    probe = probe or (lambda: _ctrl_score(0.4))
+    sleeper = sleeper or _time.sleep
+    while budget > 0 and probe() < min_ctrl:
+        sleeper(10.0)
+        budget -= 10.4
+    return budget
+
+
 def select_median(trials: list[dict],
                   min_ctrl: float = 7.0) -> tuple[dict, bool]:
     """Pick the trial whose events_per_sec the bench reports.
@@ -307,6 +324,12 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
         trials = []
         i = 0
         while True:
+            if n_trials > 1:
+                # pre-trial epoch gate: don't burn a trial inside a
+                # known-dirty window (n_trials==1 callers — warmup,
+                # scaling reps — gate themselves)
+                wait_budget = wait_for_clean_epoch(wait_budget,
+                                                   min_ctrl)
             lake_root = os.path.join(workdir, f"lake{i}")
             pipe = CdcPipeline(spark, lake_root, n_buckets=64,
                                wide_view=False)
@@ -335,12 +358,9 @@ def replay_events_per_sec(spark: SparkSession, sf_dir: str,
             if i >= n_trials and (n_trials == 1 or n_clean >= 2
                                   or i >= max_trials):
                 break
-            if i >= n_trials:
-                # dirty epoch: wait (within the shared budget) for the
-                # single-core control to come back to full speed
-                while wait_budget > 0 and _ctrl_score(0.4) < min_ctrl:
-                    time.sleep(10.0)
-                    wait_budget -= 10.4
+            # dirty epochs beyond the planned trials additionally wait
+            # here (the pre-trial gate above re-checks before the next
+            # run either way, sharing the same budget)
 
         # trial selection (see select_median): clean-pool median when
         # the run saw a quiet epoch, ctrl-normalized upper-half median

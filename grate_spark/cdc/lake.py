@@ -308,7 +308,20 @@ class LakeCatalog:
                 total += b
         if not paths:
             return None, 0
-        return self.spark.read.parquet(*paths), total
+        # explicit schema: without it Spark runs a footer-inference job
+        # (1 task) on EVERY marker read — pure planning latency, and
+        # the manifest already pins the key columns and seq type
+        return (self.spark.read.schema(self._marker_schema(t))
+                .parquet(*paths), total)
+
+    @staticmethod
+    def _marker_schema(t: dict) -> StructType:
+        current = StructType.fromJson(
+            json.loads(t["schemas"][t["schema_id"]]))
+        key_cols = tuple(t["key_cols"])
+        fields = [f for f in current.fields if f.name in key_cols]
+        fields.sort(key=lambda f: key_cols.index(f.name))
+        return StructType(fields + [StructField("seq", LongType())])
 
     def read(self, name: str, manifest: dict | None = None,
              buckets: list[int] | None = None,
@@ -422,13 +435,26 @@ class LakeCatalog:
         if set(key_cols) <= set(key):
             current = StructType.fromJson(
                 json.loads(t["schemas"][t["schema_id"]]))
-            kschema = StructType([f for f in current.fields
-                                  if f.name in key_cols])
-            row = self.spark.createDataFrame(
-                [tuple(key[f.name] for f in kschema.fields)], kschema)
-            b = row.select(_bucket_expr(key_cols, t["n_buckets"])
-                           .alias("b")).collect()[0]["b"]
-            buckets = [int(b)]
+            kfields = [f for f in current.fields if f.name in key_cols]
+            # key-column order must match the writers' _bucket_expr
+            kfields.sort(key=lambda f: key_cols.index(f.name))
+            # driver-side routing first: the gate-tested Python replay
+            # of Spark's XxHash64 (py_xxhash64) kills the 1-row Spark
+            # job a point lookup used to pay; any unsupported key type
+            # or null falls back to the JVM expression (bit-identity
+            # either way)
+            h = py_xxhash64(
+                [key[f.name] for f in kfields],
+                [f.dataType.simpleString() for f in kfields])
+            if h is not None:
+                buckets = [int(h % t["n_buckets"])]
+            else:
+                kschema = StructType(kfields)
+                row = self.spark.createDataFrame(
+                    [tuple(key[f.name] for f in kfields)], kschema)
+                b = row.select(_bucket_expr(key_cols, t["n_buckets"])
+                               .alias("b")).collect()[0]["b"]
+                buckets = [int(b)]
         return self.read(name, manifest=m, buckets=buckets, key_eq=key)
 
     def changes(self, name: str, from_version: int,
@@ -537,8 +563,10 @@ class LakeCatalog:
                     F.lit(v).cast("long").alias("_commit_version")))
             mpaths = [os.path.join(self.root, p) for p in o["markers"]]
             if kind == "merge" and mpaths:
-                keys = self.spark.read.parquet(*mpaths) \
-                    .select(*key_cols).distinct()
+                keys = (self.spark.read
+                        .schema(self._marker_schema(t_to))
+                        .parquet(*mpaths)
+                        .select(*key_cols).distinct())
                 if rows is not None:
                     # deletes = touched keys that contributed no new
                     # rows; the new-rows side of one commit is
@@ -939,6 +967,108 @@ def _bounds_exclude(entry: dict, key_eq: dict | None) -> bool:
 def _bucket_expr(key_cols: tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
                   F.lit(n_buckets)).cast("int")
+
+
+# -- driver-side xxhash64 (bit-parity port of Spark's XXH64) ----------------
+# Spark's XxHash64 expression chains columns: the running hash seeds the
+# next column's hash, starting from seed 42. Strings hash their UTF-8
+# bytes, longs the reference hashLong. Gate-tested against the JVM
+# expression over a randomized corpus (tests/test_cdc.py); read_key uses
+# it to route a point lookup WITHOUT a 1-row Spark job, falling back to
+# the JVM expression for any type this port does not cover.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XXH_P2) & _M64
+    return (_rotl64(acc, 31) * _XXH_P1) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    seed &= _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M64
+        v2 = (seed + _XXH_P2) & _M64
+        v3 = seed
+        v4 = (seed - _XXH_P1) & _M64
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16],
+                                               "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24],
+                                               "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32],
+                                               "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+             + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh_round(0, v)) * _XXH_P1 + _XXH_P4) & _M64
+    else:
+        h = (seed + _XXH_P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k1 = _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl64(h ^ k1, 27) * _XXH_P1 + _XXH_P4) & _M64
+        i += 8
+    if i <= n - 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h = (_rotl64(h ^ ((k * _XXH_P1) & _M64), 23)
+             * _XXH_P2 + _XXH_P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXH_P5) & _M64), 11)
+             * _XXH_P1) & _M64
+        i += 1
+    return _xxh_fmix(h)
+
+
+def _xxh64_long(value: int, seed: int) -> int:
+    h = (seed + _XXH_P5 + 8) & _M64
+    k1 = _xxh_round(0, value & _M64)
+    h = (_rotl64(h ^ k1, 27) * _XXH_P1 + _XXH_P4) & _M64
+    return _xxh_fmix(h)
+
+
+def py_xxhash64(values: list, types: list, seed: int = 42) -> int | None:
+    """Spark XxHash64(cols) replayed in Python: the running hash seeds
+    each successive column. ``types`` are Spark simpleString names;
+    returns None (caller falls back to the JVM expression) for any
+    unsupported type or a null value. Result is SIGNED 64-bit, exactly
+    as the JVM expression yields."""
+    h = seed
+    for v, tp in zip(values, types):
+        if v is None:
+            return None
+        if tp == "string":
+            h = _xxh64_bytes(str(v).encode("utf-8"), h)
+        elif tp in ("bigint", "int", "smallint", "tinyint"):
+            # Spark hashes every integral type as its long value
+            h = _xxh64_long(int(v), h)
+        else:
+            return None
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 class Transaction:

@@ -55,3 +55,90 @@ def test_one_clean_among_dirty_is_degraded_but_prefers_fast():
     trials = [mk(100, 9, True), mk(10, 2, False)]
     med, degraded = select_median(trials)
     assert degraded and med["events_per_sec"] == 100
+
+
+def test_wait_for_clean_epoch_gating_order():
+    """Round-6 gate (VERDICT r5 item 4): the epoch wait probes BEFORE
+    consuming budget, sleeps only while dirty, and stops on either a
+    clean probe or budget exhaustion."""
+    from grate_spark.cdc.bench import wait_for_clean_epoch
+
+    calls = []
+
+    def probe_seq(vals):
+        it = iter(vals)
+        def probe():
+            v = next(it)
+            calls.append(("probe", v))
+            return v
+        return probe
+
+    def sleeper(s):
+        calls.append(("sleep", s))
+
+    # clean immediately: no sleep, full budget back
+    calls.clear()
+    left = wait_for_clean_epoch(300.0, 7.0, probe_seq([9.0]), sleeper)
+    assert left == 300.0 and calls == [("probe", 9.0)]
+
+    # two dirty probes then clean: sleep between probes, budget drains
+    calls.clear()
+    left = wait_for_clean_epoch(300.0, 7.0,
+                                probe_seq([2.0, 3.0, 8.0]), sleeper)
+    assert [c[0] for c in calls] == ["probe", "sleep", "probe",
+                                    "sleep", "probe"]
+    assert abs(left - (300.0 - 2 * 10.4)) < 1e-9
+
+    # budget exhaustion: stops even while dirty
+    left = wait_for_clean_epoch(15.0, 7.0,
+                                probe_seq([1.0] * 10), sleeper)
+    assert left <= 0
+
+
+def test_replay_bench_pre_gates_first_trial(monkeypatch):
+    """replay_events_per_sec must consult the epoch gate BEFORE trial 1
+    (not only after n_trials dirty trials, which burned 7/13 r5
+    campaigns)."""
+    from grate_spark.cdc import bench as B
+
+    order = []
+    monkeypatch.setattr(
+        B, "wait_for_clean_epoch",
+        lambda budget, min_ctrl, probe=None, sleeper=None:
+        (order.append("gate"), budget)[1])
+
+    class _FakePipe:
+        def __init__(self, *a, **k):
+            pass
+        def replay(self, events, batch_size=None):
+            order.append("trial")
+            return [{"seconds": 0.01}]
+        def results(self):
+            class _R:
+                def count(self):
+                    return 1
+            return _R()
+
+    class _FakeEvents:
+        def count(self):
+            return 10
+
+    monkeypatch.setattr(B, "CdcPipeline", _FakePipe)
+    monkeypatch.setattr(B, "_ctrl_score", lambda *a, **k: 9.0)
+
+    class _FakeSpark:
+        class read:
+            @staticmethod
+            def parquet(p):
+                return _FakeEvents()
+
+    import os
+    import tempfile
+    wd = tempfile.mkdtemp()
+    evp = os.path.join(wd, "ev.parquet")
+    os.makedirs(evp, exist_ok=True)  # exists -> generation skipped
+    B.replay_events_per_sec(_FakeSpark(), "unused-sf", n_trials=3,
+                            workdir=wd, events_path=evp)
+    assert order[0] == "gate" and "trial" in order
+    first_trial = order.index("trial")
+    assert order[:first_trial].count("gate") >= 1

@@ -2069,3 +2069,67 @@ def test_commit_conflict_delete_only_merge_same_key(spark, tmp_path):
     # the winner's write is intact
     got = {(r["path"], r["v"]) for r in cat.read("t").collect()}
     assert got == {("p0", "v2")}
+
+
+def test_py_xxhash64_bit_parity_with_jvm(spark):
+    """Round-6 gate (VERDICT r5 item 5): the driver-side Python replay
+    of Spark's XxHash64 — used by read_key to route point lookups
+    without a 1-row Spark job — is bit-identical to the JVM expression
+    over a randomized corpus (empty/short/block-sized/multi-byte-UTF-8
+    strings, signed longs, chained columns)."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from grate_spark.cdc.lake import py_xxhash64
+
+    random.seed(13)
+    pool = _string.printable + "ü日本語𝔘"
+
+    def rnd_str():
+        n = random.choice([0, 1, 3, 4, 7, 8, 15, 16, 31, 32, 33, 64,
+                           200])
+        return "".join(random.choice(pool) for _ in range(n))
+
+    rows = [(rnd_str(), rnd_str(), random.randint(-2 ** 62, 2 ** 62))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "a string, b string, c long")
+    got = df.select(F.xxhash64("a").alias("h1"),
+                    F.xxhash64("a", "b").alias("h2"),
+                    F.xxhash64("c").alias("h3"),
+                    F.xxhash64("a", "b", "c").alias("h4")).collect()
+    for (a, b, c), r in zip(rows, got):
+        assert py_xxhash64([a], ["string"]) == r["h1"]
+        assert py_xxhash64([a, b], ["string", "string"]) == r["h2"]
+        assert py_xxhash64([c], ["bigint"]) == r["h3"]
+        assert py_xxhash64([a, b, c],
+                           ["string", "string", "bigint"]) == r["h4"]
+    # unsupported type / null -> None (caller falls back to the JVM)
+    assert py_xxhash64([None], ["string"]) is None
+    assert py_xxhash64([1.5], ["double"]) is None
+
+
+def test_read_key_routes_without_spark_job(spark, tmp_path):
+    """Building a full-key point lookup plan must not run any Spark
+    job: the bucket route comes from the gate-tested Python xxhash64
+    (the old path paid a 1-row job per lookup)."""
+    from grate_spark.cdc.lake import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [("r%d" % i, "p%d" % i, i) for i in range(50)],
+        "repo string, path string, v long")
+    txn = cat.begin()
+    txn.merge_replace_keys("t", df, df.select("repo", "path"),
+                           ("repo", "path"), n_buckets=8)
+    txn.commit()
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    plan = cat.read_key("t", {"repo": "r7", "path": "p7"})
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "read_key ran a Spark job while planning"
+    got = plan.collect()
+    assert [(r["repo"], r["path"], r["v"]) for r in got] == \
+        [("r7", "p7", 7)]
