@@ -230,6 +230,11 @@ class CdcPipeline:
                    .withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
         winners.cache()
+        # NOTE deliberately NOT materialized here: an eager count in
+        # the prefetch thread grabs a full task wave ahead of the
+        # running merge under FIFO scheduling and measured ~15% SLOWER
+        # end-to-end; the lazy cache materializes in the merge's
+        # broadcast build instead
         rolled = (batch.withColumn(
             "_b", _bucket_expr(MERGE_KEY, self.n_buckets))
             .groupingSets([["partition"], ["_b"], []],
