@@ -50,6 +50,11 @@ def _mh_expr(j: int, h: str = "h") -> str:
 
 
 def _with_minhash(docs: DataFrame) -> DataFrame:
+    # NB an explode + hash-aggregate reformulation (codegen md5 + min
+    # aggregates over skinny rows) was tried in round 6 and measured
+    # 15x SLOWER end-to-end than these per-document lambda folds —
+    # empirically the explode + 5M-row aggregation machinery dwarfs
+    # the interpreted-lambda overhead at this shingle volume
     base = f"transform(shingles, s -> {md5_bigint_expr('s', 0)})"
     sig = [F.expr(f"array_min(transform(_h, h -> {_mh_expr(j)}))")
            .alias(f"mh{j}") for j in range(N_HASHES)]
